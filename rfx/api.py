@@ -1,0 +1,188 @@
+"""User-facing facade mirroring the reference `Tracer` API.
+
+Reference: `Tracer(mesh, c, rate, window, max_bounces, n_rays)` then
+`compute_cir(tx_pos, tx_power, rx_pos, rx_radius) -> (paths, ir)`
+(ref tracer.py:12, tracer.py:63). Differences by design (SURVEY.md 7):
+
+- everything hot runs on-device under jit; no per-call receiver BVH rebuild
+  (ref tracer.py:65), no kernel-cache clearing (ref tracer.py:14), no host
+  CIR loop;
+- `compute_coverage` traces once for all receivers (the reference re-traces
+  per grid point, ref coverage.py:38-43);
+- ray directions come from a JAX PRNG key or an injected array (for oracle
+  parity), not a per-thread CUDA PRNG.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfx import cir as cir_mod
+from rfx import sampler
+from rfx.coverage import coverage_irs
+from rfx.geometry import TriangleMesh
+from rfx.ops.intersect import make_env_intersector
+from rfx.tracer import Scene, extract_paths, trace_to_rx
+from rfx.utils.logging import get_logger, log_trace_stats
+
+__all__ = ["Tracer"]
+
+_LANE_MULTIPLE = 1024  # pad ray batches for clean TPU tiling
+
+
+class Tracer:
+    """Differentiable TPU RF ray tracer with the reference's call shape."""
+
+    def __init__(
+        self,
+        environment: TriangleMesh,
+        light_speed_mps: float = 2.998e8,
+        sample_rate_hz: float = 100e9,
+        sample_window_s: float = 200.0e-9,
+        max_bounces: int = 4,
+        tx_num_rays: int = 5_000_000,
+        *,
+        n1: float = 5.0,
+        n2: float = 1.0,
+        rx_mode: str = "icosphere",
+        backend: str = "auto",
+        seed: int = 0,
+    ):
+        self.mesh = environment
+        self.scene = Scene.from_mesh(environment)
+        self.light_speed_mps = float(light_speed_mps)
+        self.sample_rate_hz = float(sample_rate_hz)
+        self.sample_window_s = float(sample_window_s)
+        self.max_bounces = int(max_bounces)
+        self.tx_num_rays = int(tx_num_rays)
+        self.n1 = float(n1)
+        self.n2 = float(n2)
+        self.rx_mode = rx_mode
+        self.nbins = int(sample_window_s * sample_rate_hz)
+        self.key = jax.random.PRNGKey(seed)
+        self.log = get_logger("rfx.api")
+
+        if backend == "auto":
+            # Brute-force Moller-Trumbore is the right call for small meshes;
+            # BVH backends take over above ~2k triangles (registered by
+            # rfx.ops backends as they come online).
+            backend = "brute" if environment.num_faces <= 2048 else "bvh"
+        self.backend = backend
+        self.env_hit = make_env_intersector(backend, mesh=environment)
+
+        self._cir_fn = jax.jit(
+            partial(
+                self._cir_impl,
+                record_paths=False,
+            )
+        )
+        self._cir_paths_fn = jax.jit(partial(self._cir_impl, record_paths=True))
+
+    # -- internals ------------------------------------------------------------
+    def _cir_impl(self, vertices, faces, tx_pos, tx_power, rx_pos, rx_radius,
+                  directions, active, *, record_paths: bool):
+        scene = Scene(vertices, faces)
+        result = trace_to_rx(
+            scene,
+            tx_pos,
+            directions,
+            rx_pos,
+            rx_radius,
+            max_bounces=self.max_bounces,
+            n1=self.n1,
+            n2=self.n2,
+            rx_mode=self.rx_mode,
+            env_hit=self.env_hit,
+            record_paths=record_paths,
+            active=active,
+        )
+        ir = cir_mod.cir_from_trace(
+            result,
+            tx_power=tx_power,
+            num_rays=self.tx_num_rays,
+            nbins=self.nbins,
+            light_speed_mps=self.light_speed_mps,
+            sample_rate_hz=self.sample_rate_hz,
+        )
+        return result, ir
+
+    def _directions(self, directions):
+        if directions is None:
+            self.key, sub = jax.random.split(self.key)
+            dirs = sampler.sphere_directions(sub, self.tx_num_rays)
+        else:
+            dirs = jnp.asarray(directions, jnp.float32)
+        padded, n_valid = sampler.pad_directions(dirs, _LANE_MULTIPLE)
+        active = jnp.arange(padded.shape[0]) < n_valid
+        return padded, active
+
+    # -- reference-parity API -------------------------------------------------
+    def compute_cir(self, tx_pos, tx_power, rx_pos, rx_radius, *,
+                    directions=None, record_paths: bool = True,
+                    max_paths: int = 10_000):
+        """(paths, impulse_response) — reference semantics (ref tracer.py:63).
+
+        `directions`: optional (N, 3) array for reproducible runs; defaults to
+        tx_num_rays fresh PRNG directions. Returns numpy outputs.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        dirs, active = self._directions(directions)
+        fn = self._cir_paths_fn if record_paths else self._cir_fn
+        result, ir = fn(
+            self.scene.vertices,
+            self.scene.faces,
+            jnp.asarray(tx_pos, jnp.float32),
+            jnp.asarray(tx_power, jnp.float32),
+            jnp.asarray(rx_pos, jnp.float32),
+            jnp.asarray(rx_radius, jnp.float32),
+            dirs,
+            active,
+        )
+        ir = jax.block_until_ready(ir)
+        elapsed = time.perf_counter() - t0
+        n_rays = int(dirs.shape[0])
+        log_trace_stats(self.log, n_rays=n_rays, bounces=self.max_bounces,
+                        captured=int(result.captured.sum()), seconds=elapsed)
+        paths = (
+            extract_paths(np.asarray(tx_pos, np.float32), result, max_paths)
+            if record_paths
+            else []
+        )
+        return paths, np.asarray(ir)
+
+    def compute_coverage(self, tx_pos, tx_power, rx_centers, rx_radius, *,
+                         directions=None, rx_batch: int = 8):
+        """(M, nbins) impulse responses for M receivers from a single trace."""
+        dirs, active = self._directions(directions)
+        irs = coverage_irs(
+            self.scene,
+            jnp.asarray(tx_pos, jnp.float32),
+            dirs,
+            jnp.asarray(rx_centers, jnp.float32),
+            jnp.asarray(rx_radius, jnp.float32),
+            max_bounces=self.max_bounces,
+            nbins=self.nbins,
+            num_rays=self.tx_num_rays,
+            light_speed_mps=self.light_speed_mps,
+            sample_rate_hz=self.sample_rate_hz,
+            tx_power=tx_power,
+            n1=self.n1,
+            n2=self.n2,
+            rx_batch=rx_batch,
+            env_hit=self.env_hit,
+            active=active,
+        )
+        return np.asarray(jax.block_until_ready(irs))
+
+    def rx_power_dbm(self, impulse_response, carrier_hz: float = 2.4e9):
+        """Reference RX-power metric (ref main.py:46-55)."""
+        dbm, _ = cir_mod.rx_power_dbm(
+            jnp.asarray(impulse_response), self.sample_window_s, carrier_hz
+        )
+        return np.asarray(dbm)

@@ -1,0 +1,178 @@
+"""BVH construction (host side) -> flat skip-pointer arrays for the device.
+
+TPU-native replacement for the BVH that warp builds inside `wp.Mesh`
+(ref tracer.py:24 — C++/CUDA LBVH in the warp-lang dependency). The traversal
+consumers (rfx.ops.bvh_traverse jnp reference, rfx.ops.pallas_trace kernel)
+want a *stackless* linear layout:
+
+- nodes stored in DFS preorder;
+- internal node: on AABB hit continue to node i+1, on miss jump to skip[i];
+- leaf node: test its triangle range, then continue to skip[i] (== i+1 in
+  preorder);
+- leaf triangle ranges are contiguous in a reordered triangle array, padded
+  to LEAF_PAD so fixed-size vector loads never run out of bounds.
+
+Builder: binned median/SAH split over centroids (NumPy). A C++ builder with
+the same output layout (native/bvh_builder.cpp) is used when compiled, for
+large meshes; `build_bvh(..., method=...)` selects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from rfx.geometry import TriangleMesh
+
+__all__ = ["FlatBVH", "build_bvh", "LEAF_SIZE"]
+
+LEAF_SIZE = 8  # max triangles per leaf; also the pad quantum
+
+
+@dataclass
+class FlatBVH:
+    """Flat skip-pointer BVH + leaf-reordered triangle SoA (host numpy)."""
+
+    aabb_min: np.ndarray  # (n_nodes, 3) f32
+    aabb_max: np.ndarray  # (n_nodes, 3) f32
+    tri_start: np.ndarray  # (n_nodes,) i32 — first padded-tri index (leaves)
+    tri_count: np.ndarray  # (n_nodes,) i32 — 0 for internal nodes
+    skip: np.ndarray  # (n_nodes,) i32 — next preorder node if subtree skipped
+    # Leaf-padded triangle SoA; padded entries are degenerate (never hit) and
+    # map to face -1.
+    tri_v0: np.ndarray  # (P, 3) f32
+    tri_e1: np.ndarray  # (P, 3) f32
+    tri_e2: np.ndarray  # (P, 3) f32
+    tri_face: np.ndarray  # (P,) i32 — original face index, -1 for padding
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.aabb_min.shape[0])
+
+    @property
+    def n_padded_tris(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+    def max_depth(self) -> int:
+        # Recover depth from the preorder/skip structure.
+        depth = 0
+        stack = [(0, 1)]
+        while stack:
+            i, d = stack.pop()
+            depth = max(depth, d)
+            if self.tri_count[i] == 0:
+                left = i + 1
+                right_skip = self.skip[i]
+                # children: left at i+1; right child is found where left's
+                # subtree skips to.
+                stack.append((left, d + 1))
+                if self.skip[left] != right_skip:
+                    stack.append((int(self.skip[left]), d + 1))
+        return depth
+
+
+def _centroid_split(order, lo, hi, centroids, bounds_min, bounds_max):
+    """Median split on the widest centroid axis; returns mid index."""
+    c = centroids[order[lo:hi]]
+    ext = c.max(axis=0) - c.min(axis=0)
+    axis = int(np.argmax(ext))
+    mid = (lo + hi) // 2
+    sel = np.argpartition(c[:, axis], mid - lo)
+    order[lo:hi] = order[lo:hi][sel]
+    return mid
+
+
+def build_bvh(mesh: TriangleMesh, leaf_size: int = LEAF_SIZE, method: str = "auto") -> FlatBVH:
+    """Build the flat BVH. method: 'numpy' | 'native' | 'auto' (native when the
+    compiled builder is available and the mesh is large)."""
+    if method == "auto":
+        try:
+            from rfx.ops.native_lib import native_available
+
+            method = "native" if native_available() and mesh.num_faces >= 20_000 else "numpy"
+        except ImportError:
+            method = "numpy"
+    if method == "native":
+        from rfx.ops.native_lib import build_bvh_native
+
+        return build_bvh_native(mesh, leaf_size)
+
+    tri = mesh.triangles().astype(np.float32)  # (F, 3, 3)
+    f = tri.shape[0]
+    tmin = tri.min(axis=1)
+    tmax = tri.max(axis=1)
+    centroids = tri.mean(axis=1)
+
+    order = np.arange(f, dtype=np.int64)
+
+    # Iterative preorder build with an explicit stack; children pushed right
+    # first so the left child lands at i+1.
+    aabb_min, aabb_max, tri_start, tri_count, skips = [], [], [], [], []
+    leaf_ranges = []  # (padded_start, count, order_lo) per leaf, for reorder
+    padded_cursor = 0
+
+    # Stack holds (lo, hi, parent_fixup) where parent_fixup is the index whose
+    # skip must be set once this subtree's extent is known. We instead compute
+    # skip in a second pass using subtree sizes, so the stack holds spans and
+    # we record each node's subtree extent.
+    def rec(lo, hi):
+        nonlocal padded_cursor
+        idx = len(aabb_min)
+        sel = order[lo:hi]
+        aabb_min.append(tmin[sel].min(axis=0))
+        aabb_max.append(tmax[sel].max(axis=0))
+        tri_start.append(0)
+        tri_count.append(0)
+        skips.append(0)
+        if hi - lo <= leaf_size:
+            count = hi - lo
+            padded = -(-count // leaf_size) * leaf_size
+            tri_start[idx] = padded_cursor
+            tri_count[idx] = count
+            leaf_ranges.append((padded_cursor, lo, count))
+            padded_cursor += padded
+        else:
+            mid = _centroid_split(order, lo, hi, centroids, tmin, tmax)
+            if mid == lo or mid == hi:  # degenerate split: force halve
+                mid = (lo + hi) // 2
+            rec(lo, mid)
+            rec(mid, hi)
+        skips[idx] = len(aabb_min)  # preorder index just past this subtree
+        return idx
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * int(np.log2(max(f, 2)) + 2) * 64))
+    try:
+        rec(0, f)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    n_nodes = len(aabb_min)
+    # Reorder + pad triangles.
+    P = padded_cursor
+    tri_v0 = np.zeros((P, 3), np.float32)
+    tri_e1 = np.zeros((P, 3), np.float32)
+    tri_e2 = np.zeros((P, 3), np.float32)
+    tri_face = np.full((P,), -1, np.int32)
+    for pstart, olo, count in leaf_ranges:
+        sel = order[olo : olo + count]
+        t = tri[sel]
+        tri_v0[pstart : pstart + count] = t[:, 0]
+        tri_e1[pstart : pstart + count] = t[:, 1] - t[:, 0]
+        tri_e2[pstart : pstart + count] = t[:, 2] - t[:, 0]
+        tri_face[pstart : pstart + count] = sel.astype(np.int32)
+
+    return FlatBVH(
+        aabb_min=np.asarray(aabb_min, np.float32),
+        aabb_max=np.asarray(aabb_max, np.float32),
+        tri_start=np.asarray(tri_start, np.int32),
+        tri_count=np.asarray(tri_count, np.int32),
+        skip=np.asarray(skips, np.int32),
+        tri_v0=tri_v0,
+        tri_e1=tri_e1,
+        tri_e2=tri_e2,
+        tri_face=tri_face,
+    )

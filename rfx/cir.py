@@ -1,0 +1,126 @@
+"""Channel-impulse-response assembly and RX-power metrics (on-device).
+
+The reference accumulates the CIR on the host in a Python loop over paths
+(ref tracer.py:101-117) and derives RX power by convolving with a carrier
+sine on the CPU (ref main.py:46-55). Both run here as vectorised XLA ops:
+binning is a scatter-add (deterministic on TPU), the convolution is a direct
+`lax.conv` so exact zeros stay exactly zero (parity with np.convolve's
+nonzero-sample selection; an FFT path would fill zeros with roundoff noise).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bin_impulse_response", "cir_from_trace", "rx_power_dbm", "to_dbm"]
+
+
+def bin_impulse_response(
+    amplitude: jnp.ndarray,
+    distance: jnp.ndarray,
+    captured: jnp.ndarray,
+    *,
+    nbins: int,
+    light_speed_mps: float,
+    sample_rate_hz: float,
+    soft: bool = False,
+):
+    """Scatter per-path amplitudes into delay bins.
+
+    Hard mode reproduces the reference exactly: bin = int(distance/c * rate)
+    (truncation, ref tracer.py:115), out-of-window paths dropped, amplitudes
+    summed. Soft mode linearly splits each amplitude between the two
+    neighbouring bins so d(IR)/d(distance) is nonzero — required for delay
+    gradients in the inverse solve (hard binning is piecewise constant).
+    """
+    delay = distance / light_speed_mps * sample_rate_hz
+    amp = jnp.where(captured, amplitude, 0.0)
+    if soft:
+        lo = jnp.floor(delay)
+        w = delay - lo
+        lo_i = lo.astype(jnp.int32)
+        valid_lo = captured & (lo_i >= 0) & (lo_i < nbins)
+        valid_hi = captured & (lo_i + 1 >= 0) & (lo_i + 1 < nbins)
+        ir = jnp.zeros((nbins,), amp.dtype)
+        ir = ir.at[jnp.clip(lo_i, 0, nbins - 1)].add(jnp.where(valid_lo, amp * (1.0 - w), 0.0))
+        ir = ir.at[jnp.clip(lo_i + 1, 0, nbins - 1)].add(jnp.where(valid_hi, amp * w, 0.0))
+        return ir
+    bins = delay.astype(jnp.int32)  # truncation toward zero, matches int()
+    valid = captured & (bins >= 0) & (bins < nbins)
+    ir = jnp.zeros((nbins,), amp.dtype)
+    return ir.at[jnp.clip(bins, 0, nbins - 1)].add(jnp.where(valid, amp, 0.0))
+
+
+def cir_from_trace(
+    result,
+    *,
+    tx_power,
+    num_rays: int,
+    nbins: int,
+    light_speed_mps: float,
+    sample_rate_hz: float,
+    soft: bool = False,
+):
+    """TraceResult -> impulse response. Per-path amplitude starts at
+    tx_power / N (ref tracer.py:103) times the accumulated Fresnel product."""
+    amp = result.amplitude * (tx_power / num_rays)
+    return bin_impulse_response(
+        amp,
+        result.distance,
+        result.captured,
+        nbins=nbins,
+        light_speed_mps=light_speed_mps,
+        sample_rate_hz=sample_rate_hz,
+        soft=soft,
+    )
+
+
+def to_dbm(power):
+    return 10.0 * jnp.log10(power / 1e-3)
+
+
+@partial(jax.jit, static_argnames=("carrier_hz", "sample_window_s"))
+def rx_power_dbm(
+    impulse_response: jnp.ndarray,
+    sample_window_s: float,
+    carrier_hz: float = 2.4e9,
+):
+    """Reference RX-power metric (ref main.py:46-55): convolve the IR with a
+    carrier sine ('same' mode), mean-square over nonzero samples, dBm.
+
+    Accepts (nbins,) or a batched (M, nbins) IR (the coverage engine).
+    Returns -inf dBm where nothing was received.
+    """
+    squeeze = impulse_response.ndim == 1
+    ir = jnp.atleast_2d(impulse_response)
+    m, nbins = ir.shape
+    t = jnp.linspace(0.0, sample_window_s, nbins)
+    kernel = jnp.sin(2.0 * jnp.pi * carrier_hz * t)
+
+    # np.convolve(a, k, mode='same') == full conv trimmed to start at
+    # (len(k)-1)//2. Express as lax.conv with explicit padding.
+    lhs = ir[:, None, :]  # (M, 1, nbins)
+    rhs = kernel[::-1][None, None, :]  # flip: convolution, not correlation
+    lo = (nbins - 1) // 2
+    hi = nbins - 1 - lo
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding=[(nbins - 1 - lo, nbins - 1 - hi)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+    # 'same' trimming: np takes indices [lo, lo+nbins) of the full conv; the
+    # padding above already yields exactly nbins outputs starting at lo.
+    nz = out != 0.0
+    count = jnp.sum(nz, axis=1)
+    power = jnp.where(
+        count > 0, jnp.sum(jnp.where(nz, out**2, 0.0), axis=1) / jnp.maximum(count, 1), 0.0
+    )
+    dbm = jnp.where(count > 0, to_dbm(jnp.maximum(power, 1e-300)), -jnp.inf)
+    if squeeze:
+        return dbm[0], out[0]
+    return dbm, out

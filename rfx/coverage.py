@@ -1,0 +1,131 @@
+"""Coverage engine: one trace, every receiver.
+
+The reference re-traces the full ray batch for each of its 2048 receiver grid
+points (ref coverage.py:38-43 — 2.048 G rays total for a 1 M-ray batch). Here
+the environment path is traced once (`trace_env`), and each receiver sphere is
+intersected against the recorded segments afterwards. This is *exactly*
+equivalent per receiver: a receiver never alters the environment path, and
+capture only truncates that receiver's own view of it (first segment hit wins,
+matching the per-bounce capture rule of ref kernel.py:85).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfx.cir import bin_impulse_response, rx_power_dbm
+from rfx.ops.intersect import is_hit, ray_sphere_hit
+from rfx.tracer import EnvSegments, Scene, trace_env
+
+__all__ = ["coverage_irs", "coverage_dbm", "make_grid"]
+
+
+def make_grid(x_range, y_range, z_range) -> np.ndarray:
+    """(M, 3) receiver grid. The reference sweep is x,y in [-15, 15] step 2 and
+    z in [0, 14] step 2 (ref coverage.py:38-40): make_grid(range(-15, 16, 2),
+    range(-15, 16, 2), range(0, 16, 2))."""
+    pts = [(x, y, z) for x in x_range for y in y_range for z in z_range]
+    return np.asarray(pts, dtype=np.float32)
+
+
+def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, num_rays,
+                         nbins, light_speed_mps, sample_rate_hz):
+    """IR for a single receiver from shared env segments. Shapes: (B, N)."""
+    B, N = segs.t_env.shape
+    o = segs.origin.reshape(B * N, 3)
+    d = segs.direction.reshape(B * N, 3)
+    t_rx = ray_sphere_hit(o, d, rx_center, rx_radius).reshape(B, N)
+    # Receiver wins on a segment iff hit AND (env missed OR t_env > t_rx)
+    # (ref kernel.py:85); with finite miss sentinels this reduces to
+    # t_env > t_rx. Dead segments are gated by `alive`.
+    win = segs.alive & is_hit(t_rx) & (segs.t_env > t_rx)
+    # First capture along the bounce axis terminates this receiver's view.
+    seen_before = jnp.cumsum(win.astype(jnp.int32), axis=0) - win.astype(jnp.int32)
+    first = win & (seen_before == 0)
+    amp = jnp.where(first, segs.amplitude, 0.0).reshape(-1) * (tx_power / num_rays)
+    dist = jnp.where(first, segs.distance + t_rx, 0.0).reshape(-1)
+    return bin_impulse_response(
+        amp,
+        dist,
+        first.reshape(-1),
+        nbins=nbins,
+        light_speed_mps=light_speed_mps,
+        sample_rate_hz=sample_rate_hz,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_bounces", "nbins", "num_rays", "rx_batch", "env_hit"),
+)
+def coverage_irs(
+    scene: Scene,
+    tx_pos,
+    directions,
+    rx_centers,
+    rx_radius,
+    *,
+    max_bounces: int,
+    nbins: int,
+    num_rays: int,
+    light_speed_mps: float = 2.998e8,
+    sample_rate_hz: float = 100e9,
+    tx_power: float = 1.0,
+    n1=5.0,
+    n2=1.0,
+    rx_batch: int = 8,
+    env_hit=None,
+    active=None,
+):
+    """(M, nbins) impulse responses for M receiver spheres from one trace.
+
+    Receivers are processed in vmapped batches of `rx_batch` under lax.map to
+    bound the (B*N) per-receiver intermediates.
+    """
+    segs = trace_env(
+        scene, tx_pos, directions, max_bounces=max_bounces, n1=n1, n2=n2,
+        env_hit=env_hit, active=active,
+    )
+    m = rx_centers.shape[0]
+    pad = (-m) % rx_batch
+    centers = jnp.concatenate([rx_centers, jnp.zeros((pad, 3), rx_centers.dtype)]) if pad else rx_centers
+
+    fn = partial(
+        _rx_ir_from_segments,
+        segs,
+        rx_radius=rx_radius,
+        tx_power=tx_power,
+        num_rays=num_rays,
+        nbins=nbins,
+        light_speed_mps=light_speed_mps,
+        sample_rate_hz=sample_rate_hz,
+    )
+    irs = jax.lax.map(jax.vmap(fn), centers.reshape(-1, rx_batch, 3))
+    return irs.reshape(-1, nbins)[:m]
+
+
+def coverage_dbm(
+    scene: Scene,
+    tx_pos,
+    directions,
+    rx_centers,
+    rx_radius,
+    *,
+    sample_window_s: float,
+    sample_rate_hz: float = 100e9,
+    carrier_hz: float = 2.4e9,
+    **kwargs,
+):
+    """Per-receiver RX power in dBm (the reference's coverage metric,
+    ref coverage.py:45-55). Returns (M,) dBm."""
+    nbins = int(sample_window_s * sample_rate_hz)
+    irs = coverage_irs(
+        scene, tx_pos, directions, rx_centers, rx_radius,
+        nbins=nbins, sample_rate_hz=sample_rate_hz, **kwargs,
+    )
+    dbm, _ = rx_power_dbm(irs, sample_window_s, carrier_hz)
+    return dbm

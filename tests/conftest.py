@@ -7,11 +7,17 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Force CPU even when the ambient env points at a TPU platform (the axon env
+# ignores a JAX_PLATFORMS env override, so set it via jax.config): tests
+# validate semantics + sharding on fake devices, not TPU perf.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,63 @@
+"""Coverage engine: trace-once-for-all-receivers must equal per-receiver
+tracing (the restructure of ref coverage.py:38-43; SURVEY.md 7 step 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from oracle import sample_sphere_directions
+from rfx.cir import cir_from_trace
+from rfx.coverage import coverage_irs, make_grid
+from rfx.tracer import Scene, trace_to_rx
+
+C = 2.998e8
+RATE = 100e9
+WINDOW = 100e-9
+NBINS = int(WINDOW * RATE)
+TX = np.array([5.0, 3.0, 5.0])
+
+
+def _single_rx_ir(scene, dirs, rx, radius, max_bounces):
+    result = trace_to_rx(
+        scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+        jnp.asarray(rx, jnp.float32), radius, max_bounces=max_bounces,
+        rx_mode="analytic",
+    )
+    return np.asarray(
+        cir_from_trace(result, tx_power=1.0, num_rays=dirs.shape[0], nbins=NBINS,
+                       light_speed_mps=C, sample_rate_hz=RATE)
+    )
+
+
+def test_coverage_equals_per_rx_trace(box_room):
+    dirs = sample_sphere_directions(3000, seed=17)
+    scene = Scene.from_mesh(box_room)
+    centers = np.array(
+        [[-10.0, 0.0, 5.0], [0.0, 8.0, 2.0], [7.0, -7.0, 9.0], [12.0, 12.0, 1.0], [0.0, 0.0, 15.0]],
+        np.float32,
+    )
+    irs = coverage_irs(
+        scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), jnp.asarray(centers),
+        jnp.float32(0.8), max_bounces=3, nbins=NBINS, num_rays=dirs.shape[0],
+        light_speed_mps=C, sample_rate_hz=RATE, rx_batch=2,
+    )
+    irs = np.asarray(irs)
+    assert irs.shape == (5, NBINS)
+    for m, rx in enumerate(centers):
+        ir_single = _single_rx_ir(scene, dirs, rx, 0.8, 3)
+        np.testing.assert_allclose(irs[m], ir_single, rtol=1e-5, atol=1e-12)
+
+
+def test_make_grid_matches_reference_sweep():
+    g = make_grid(range(-15, 16, 2), range(-15, 16, 2), range(0, 16, 2))
+    assert g.shape == (16 * 16 * 8, 3)  # 2048 points, ref coverage.py:38-40
+    assert g.min() == -15 and g.max() == 15
+
+
+def test_coverage_rx_batch_invariance(box_room):
+    dirs = sample_sphere_directions(1000, seed=2)
+    scene = Scene.from_mesh(box_room)
+    centers = jnp.asarray(make_grid(range(-12, 13, 8), range(-12, 13, 8), [2, 8]))
+    kw = dict(max_bounces=2, nbins=NBINS, num_rays=1000, light_speed_mps=C, sample_rate_hz=RATE)
+    a = coverage_irs(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), centers, 0.5, rx_batch=1, **kw)
+    b = coverage_irs(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), centers, 0.5, rx_batch=8, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
