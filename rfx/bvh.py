@@ -45,6 +45,7 @@ class FlatBVH:
     tri_e1: np.ndarray  # (P, 3) f32
     tri_e2: np.ndarray  # (P, 3) f32
     tri_face: np.ndarray  # (P,) i32 — original face index, -1 for padding
+    leaf_size: int = LEAF_SIZE  # pad quantum used at build time
 
     @property
     def n_nodes(self) -> int:
@@ -175,4 +176,5 @@ def build_bvh(mesh: TriangleMesh, leaf_size: int = LEAF_SIZE, method: str = "aut
         tri_e1=tri_e1,
         tri_e2=tri_e2,
         tri_face=tri_face,
+        leaf_size=leaf_size,
     )

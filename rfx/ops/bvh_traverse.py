@@ -21,6 +21,7 @@ large. The brute backend remains the fully differentiable gold path.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -93,7 +94,7 @@ def _leaf_mt(o, d, v0, e1, e2, t_min):
     return jnp.where(ok, t, MISS)
 
 
-def _traverse(bvh: DeviceBVH, o, d, t_min):
+def _traverse(bvh: DeviceBVH, o, d, t_min, leaf_size=LEAF_SIZE):
     n = o.shape[0]
     n_nodes = bvh.aabb_min.shape[0]
     inv_d = jnp.where(jnp.abs(d) > 1e-30, 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1.0), 1e30)
@@ -120,13 +121,13 @@ def _traverse(bvh: DeviceBVH, o, d, t_min):
         start = bvh.tri_start[ni]
 
         # Fixed-size leaf block (padding rows are degenerate -> never hit).
-        gather = start[:, None] + jnp.arange(LEAF_SIZE)[None, :]
+        gather = start[:, None] + jnp.arange(leaf_size)[None, :]
         gather = jnp.clip(gather, 0, bvh.tri_v0.shape[0] - 1)
         lv0 = bvh.tri_v0[gather]
         le1 = bvh.tri_e1[gather]
         le2 = bvh.tri_e2[gather]
         t_leaf = _leaf_mt(o, d, lv0, le1, le2, t_min)  # (N, L)
-        in_count = jnp.arange(LEAF_SIZE)[None, :] < count[:, None]
+        in_count = jnp.arange(leaf_size)[None, :] < count[:, None]
         use = (active & box_hit & leaf)[:, None] & in_count
         t_leaf = jnp.where(use, t_leaf, MISS)
         l_arg = jnp.argmin(t_leaf, axis=1)
@@ -148,9 +149,9 @@ def _traverse(bvh: DeviceBVH, o, d, t_min):
     return t_best, face, tri_best
 
 
-@jax.custom_vjp
-def bvh_closest_hit(o, d, bvh: DeviceBVH, t_min=T_MIN_EPS):
-    t, face, _ = _traverse(bvh, o, d, t_min)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bvh_closest_hit(o, d, bvh: DeviceBVH, t_min=T_MIN_EPS, leaf_size=LEAF_SIZE):
+    t, face, _ = _traverse(bvh, o, d, t_min, leaf_size)
     return t, face
 
 
@@ -163,12 +164,12 @@ def _closed_form_t(o, d, v0, e1, e2):
     return jnp.einsum("nj,nj->n", e2, qvec) / det_safe
 
 
-def _bvh_hit_fwd(o, d, bvh, t_min):
-    t, face, tri_idx = _traverse(bvh, o, d, t_min)
+def _bvh_hit_fwd(o, d, bvh, t_min, leaf_size):
+    t, face, tri_idx = _traverse(bvh, o, d, t_min, leaf_size)
     return (t, face), (o, d, bvh, tri_idx, t)
 
 
-def _bvh_hit_bwd(res, cotangents):
+def _bvh_hit_bwd(t_min, leaf_size, res, cotangents):
     o, d, bvh, tri_idx, t = res
     g_t, _ = cotangents  # face cotangent is symbolic-zero (int)
     gather = jnp.maximum(tri_idx, 0)
@@ -204,7 +205,7 @@ def _bvh_hit_bwd(res, cotangents):
         tri_e2=scat((p, 3), gather, ge2),
         tri_face=None,
     )
-    return go, gd, g_bvh, None
+    return go, gd, g_bvh
 
 
 bvh_closest_hit.defvjp(_bvh_hit_fwd, _bvh_hit_bwd)
@@ -235,13 +236,13 @@ def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
                 tri_e1=jnp.where(padj, zero, le1),
                 tri_e2=jnp.where(padj, zero, le2),
             )
-            return bvh_closest_hit(o, d, bvh)
+            return bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
 
         return env_hit
 
     bvh = device_bvh(flat)
 
     def env_hit(o, d, v0, e1, e2):
-        return bvh_closest_hit(o, d, bvh)
+        return bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
 
     return env_hit

@@ -163,10 +163,7 @@ def _brute_bwd(t_min, t_max, ray_chunk, res, cotangents):
 _brute_custom.defvjp(_brute_fwd, _brute_bwd)
 
 
-def ray_sphere_hit(o, d, center, radius, t_min=T_MIN_EPS):
-    """Smallest positive intersection parameter of unit-direction rays with a
-    sphere; inf on miss. (N, 3) rays, (3,) center. Matches the oracle's
-    analytic RX mode."""
+def _sphere_hit_fwd_only(o, d, center, radius, t_min):
     oc = o - center[None, :]
     b = jnp.einsum("nj,nj->n", oc, d)
     c = jnp.einsum("nj,nj->n", oc, oc) - radius * radius
@@ -179,6 +176,54 @@ def ray_sphere_hit(o, d, center, radius, t_min=T_MIN_EPS):
     t1 = -b + s
     t = jnp.where(t0 > t_min, t0, jnp.where(t1 > t_min, t1, MISS))
     return jnp.where(hit, t, MISS)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sphere_custom(o, d, center, radius, t_min):
+    return _sphere_hit_fwd_only(o, d, center, radius, t_min)
+
+
+def ray_sphere_hit(o, d, center, radius, t_min=T_MIN_EPS):
+    """Smallest positive intersection parameter of unit-direction rays with a
+    sphere; MISS sentinel on miss. (N, 3) rays, (3,) center. Matches the
+    oracle's analytic RX mode.
+
+    Custom VJP via the implicit function theorem on |o + t d - C|^2 = r^2:
+    with p = o + t d and q = p - C,
+        dt/do = -q / (q.d),  dt/dd = -t q / (q.d),  dt/dC = q / (q.d),
+        dt/dr = r / (q.d).
+    The q.d denominator is clamped away from zero (near-tangent hits), and the
+    backward never touches the sqrt/discriminant graph — autodiff through the
+    forward triggers an XLA-TPU fusion bug (NaN grads under jit when fused
+    with a surrounding trace graph; clean on CPU and op-by-op)."""
+    return _sphere_custom(
+        o, d, jnp.asarray(center), jnp.asarray(radius, jnp.float32), float(t_min)
+    )
+
+
+def _sphere_fwd(o, d, center, radius, t_min):
+    t = _sphere_hit_fwd_only(o, d, center, radius, t_min)
+    return t, (o, d, center, radius, t)
+
+
+def _sphere_bwd(t_min, res, g):
+    o, d, center, radius, t = res
+    hit = is_hit(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    q = o + t_safe[:, None] * d - center[None, :]
+    qd = jnp.einsum("nj,nj->n", q, d)
+    # |q.d| = r*|cos(theta_inc)| at a hit; clamp for grazing incidence.
+    mag = jnp.maximum(jnp.abs(qd), 1e-6 * jnp.maximum(radius, 1e-6))
+    qd_safe = jnp.where(qd < 0.0, -mag, mag)
+    gg = jnp.where(hit, g, 0.0) / qd_safe
+    go = -gg[:, None] * q
+    gd = -(gg * t_safe)[:, None] * q
+    gc = -jnp.sum(go, axis=0)
+    gr = jnp.sum(gg) * radius
+    return go, gd, gc, gr
+
+
+_sphere_custom.defvjp(_sphere_fwd, _sphere_bwd)
 
 
 def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kwargs):
@@ -198,18 +243,19 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
         return env_hit
     if backend in ("bvh", "pallas"):
         mesh = kwargs.get("mesh")
-        if mesh is None:
+        if mesh is None and kwargs.get("flat_bvh") is None:
             raise ValueError(f"backend '{backend}' requires mesh=TriangleMesh")
         from rfx.bvh import build_bvh
 
-        flat = kwargs.get("flat_bvh") or build_bvh(mesh)
         if backend == "bvh":
             from rfx.ops.bvh_traverse import make_bvh_env_hit
 
+            flat = kwargs.get("flat_bvh") or build_bvh(mesh)
             return make_bvh_env_hit(
                 flat, differentiable_tris=kwargs.get("differentiable_tris", False)
             )
-        from rfx.ops.pallas_trace import make_pallas_env_hit
+        from rfx.ops.pallas_trace import PALLAS_LEAF, make_pallas_env_hit
 
-        return make_pallas_env_hit(flat)
+        flat = kwargs.get("flat_bvh") or build_bvh(mesh, leaf_size=PALLAS_LEAF)
+        return make_pallas_env_hit(flat, interpret=kwargs.get("interpret", False))
     raise ValueError(f"unknown intersector backend: {backend}")
