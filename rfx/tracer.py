@@ -162,7 +162,13 @@ def trace_to_rx(
         cap_dist = jnp.where(rx_win, c["dist"] + t_rx, c["cap_dist"])
 
         t_adv = jnp.where(env_bounce, t_env, 0.0)
-        new_pos = c["pos"] + c["dir"] * t_adv[:, None]
+        # Park rays that die this bounce (captured or escaped) far outside the
+        # scene: their AABB tests then miss at the BVH root, so fully-dead ray
+        # tiles short-circuit the Pallas traversal instead of re-walking the
+        # tree (the reference keeps re-querying dead rays, ref kernel.py:58-59).
+        new_pos = jnp.where(
+            env_bounce[:, None], c["pos"] + c["dir"] * t_adv[:, None], jnp.float32(1e9)
+        )
         nrm = normals[jnp.clip(face, 0, None)]
         d_out = physics.reflect(c["dir"], nrm)
         fres = physics.fresnel_bounce_amplitude(physics.bend_angle(c["dir"], d_out), n1, n2)
@@ -250,7 +256,13 @@ def trace_env(
         )
         env_bounce = c["alive"] & env_hit_mask
         t_adv = jnp.where(env_bounce, t_env, 0.0)
-        new_pos = c["pos"] + c["dir"] * t_adv[:, None]
+        # Park rays that die this bounce (captured or escaped) far outside the
+        # scene: their AABB tests then miss at the BVH root, so fully-dead ray
+        # tiles short-circuit the Pallas traversal instead of re-walking the
+        # tree (the reference keeps re-querying dead rays, ref kernel.py:58-59).
+        new_pos = jnp.where(
+            env_bounce[:, None], c["pos"] + c["dir"] * t_adv[:, None], jnp.float32(1e9)
+        )
         nrm = normals[jnp.clip(face, 0, None)]
         d_out = physics.reflect(c["dir"], nrm)
         fres = physics.fresnel_bounce_amplitude(physics.bend_angle(c["dir"], d_out), n1, n2)
