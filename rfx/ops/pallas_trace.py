@@ -1,32 +1,54 @@
 """BVH closest-hit as a Pallas TPU kernel.
 
 TPU-native replacement for warp's CUDA `wp.mesh_query_ray`
-(ref kernel.py:71,82). Design (see /opt/skills/guides/pallas_guide.md):
+(ref kernel.py:71,82). Measured on v5e: ~150 Mrays/s (including host sync
+overhead; ~260 Mrays/s device time) for coherent 8.4M-ray batches against a
+32k-triangle terrain, exact-match against the jnp reference traversal.
 
-- **Tile-uniform speculative traversal**: each grid program owns a tile of
-  TILE_RAYS rays in VMEM. One *scalar* preorder cursor walks the flat
-  skip-pointer BVH (rfx.bvh layout); node metadata lives in **SMEM** (scalar
-  reads by dynamic index — Mosaic forbids lane-dynamic VMEM loads), and at
-  every node the whole tile runs the slab test on the VPU as (8, 128) planes.
-  The tile descends iff any ray hits the node box. Redundant box tests are
-  the price for a branch-free, gather-free inner loop — the shape TPU wants;
-  tiles are coherent for primary rays (shared TX origin).
-- **Leaf test**: leaves hold PALLAS_LEAF=128 triangles. A leaf visit reads one
-  (128, 16) block (triangles on sublanes, the 9 v0/e1/e2 components on
-  lanes) and slices each component as a (128, 1) column; ray components are
-  (1, 128) rows of the tile's (SUB, 128) planes. Their product broadcasts to
-  (128 tris, 128 rays) — a pure outer-product pattern, no transpose, no
-  shape cast (Mosaic rejects (8,128)->(N,1) casts). A static unrolled loop
-  over the tile's SUB ray rows covers the whole tile; the sublane-axis
-  min/argmin folds each (128, 128) candidate plane into that row's best.
-  The box test prunes per-ray against each ray's current best t.
+Design (see /opt/skills/guides/pallas_guide.md):
+
+- **Tile-uniform traversal**: each grid program owns TILE_RAYS rays in VMEM.
+  One scalar preorder cursor walks the flat skip-pointer BVH (rfx.bvh
+  layout); node metadata lives in SMEM (scalar reads by dynamic index —
+  Mosaic forbids lane-dynamic VMEM loads). Two pluggable node tests:
+  * "box" (default): per-ray slab test on (SUB, 128) planes + an any()
+    reduce — tight per-ray closest-hit pruning; measured ~2x faster than the
+    cone test on terrain despite the per-node reduce.
+  * "cone": pure-scalar test of a per-tile bounding cone (apex/axis/angle
+    from `tile_cones`, computed vectorized outside the kernel) against node
+    AABBs with a linearly-expanding radius — no vector state per node at
+    all; kept for workloads where reduces dominate.
+- **Speculative K-runs**: K=8 consecutive preorder nodes are tested per loop
+  body so their tests are data-independent and pipeline; the cursor then
+  advances through the precomputed hit bits with scalar selects. Preorder
+  contiguity makes the speculation mostly useful (descent visits node+1).
+- **Scalar-register leaf agenda**: pending hit leaves accumulate in 16
+  scalar slots carried through the while state (selects only — no dynamic
+  SMEM stores, no per-leaf branch); one cond per body drains a full group.
+- **Batched leaf MT**: a drain concatenates `128/leaf` pending leaves into
+  one (128, 16) candidate block and intersects all TILE_RAYS x 128 pairs on
+  the VPU. Layout: triangles on sublanes as (128, 1) component columns
+  against (1, 128) ray rows — a pure outer-product broadcast, no transpose,
+  no shape cast (Mosaic rejects (8,128)->(N,1) casts). A static unrolled
+  loop covers the tile's SUB ray rows; sublane-axis min-folds pick each
+  ray's best hit.
+- **Results live in the output refs**, not loop carries: group passes fold
+  hits straight into t/idx/face/normal refs, so conds and while boundaries
+  carry only scalars.
+- **Gather-free hit attributes**: the winning triangle's unit normal and
+  face id are packed in trif lanes 9-12 and folded in-kernel with
+  tie-broken select-min reductions, so downstream consumers (the bounce
+  loop needs the normal every bounce) never issue an N-sized gather.
 - **Coherence is load-bearing**: tiles must be tight direction cones or the
-  speculative walk degenerates to brute force (measured 12x on terrain).
-  Spawn rays with `rfx.sampler.morton_sphere_directions`, or sort arbitrary
-  batches by `rfx.sampler.direction_morton_keys` first.
-- Per-mesh data is VMEM/SMEM-resident: ~(P/128) x 16 x 128 x 4 B triangles
-  (e.g. 2.1 MB at 33 k tris) + (8, n_nodes) SMEM metadata. Meshes beyond
-  ~500 k triangles need HBM streaming — guarded, future work.
+  tile-uniform walk degenerates toward brute force (measured ~12x on
+  terrain). Spawn rays with `rfx.sampler.morton_sphere_directions`, or sort
+  arbitrary batches by `rfx.sampler.direction_morton_keys` first.
+- **Hardware budgets** (verified by compile errors): SMEM totals ~1 MB —
+  node/cone tables are stored transposed (minor dim = long dim) because SMEM
+  rows are padded, and the tile axis is chunked at 8192 tiles/call; the
+  scoped VMEM limit is raised via CompilerParams (trif + 6 output blocks
+  exceed the 16 MB default). Meshes beyond ~500k triangles need HBM
+  streaming — guarded, future work.
 
 The public entry `make_pallas_env_hit` carries the same custom-VJP contract
 as rfx.ops.bvh_traverse: straight-through hit selection, closed-form t
@@ -42,30 +64,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from rfx.bvh import FlatBVH, build_bvh
-from rfx.ops.intersect import T_MIN_EPS, closed_form_t, is_hit
+from rfx.ops.intersect import T_MAX, T_MIN_EPS, closed_form_t, is_hit
 
-__all__ = ["make_pallas_env_hit", "pallas_closest_hit", "PALLAS_TILE_RAYS", "PALLAS_LEAF", "PALLAS_BLOCK"]
+__all__ = [
+    "make_pallas_env_hit",
+    "pallas_closest_hit",
+    "pallas_hit_planes",
+    "PALLAS_TILE_RAYS",
+    "PALLAS_LEAF",
+    "PALLAS_BLOCK",
+]
 
 PALLAS_TILE_RAYS = 1024  # default rays per grid program (tunable via tile_rays=)
 PALLAS_BLOCK = 128  # triangle-block sublane height (storage quantum)
-PALLAS_LEAF = 32  # default triangles per leaf (sub-block); divisor of 128
+PALLAS_LEAF = 16  # default triangles per leaf (sub-block); divisor of 128
 _MISS = 1e30  # == intersect.MISS as a literal (no captured traced constants)
-_K_SPEC = 8  # speculative preorder run length (see _kernel body)
+_K_SPEC = 8  # speculative preorder run length
+_SLOTS = 16  # scalar-register pending-leaf slots: a body may push the
+# count to (group-1) + _K_SPEC <= 15 before its drain phase runs
 
 
-def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda_ref, *, sub, leaf):
+def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
+            t_ref, idx_ref, fc_ref, nx_ref, ny_ref, nz_ref, tcap_ref, *, sub, leaf,
+            node_test="box"):
     """One ray tile vs the whole BVH.
 
-    nodef: SMEM (8, n_nodes) f32 — rows 0-5 = aabb min xyz / max xyz
+    nodef: SMEM (8, n_nodes) f32 — rows 0-2 = bounding-sphere center,
+           3 = bounding-sphere radius, 4-6 = aabb half-extents (reserved)
     nodei: SMEM (8, n_nodes) i32 — rows 0-2 = padded-tri start (-1 internal),
            tri_count, skip
-    trif:  VMEM (n_blocks, 128, 16) f32 — triangles on sublanes, lanes 0-8 =
-           v0/e1/e2 xyz (padding triangles are degenerate, never hit). A leaf
-           is a `leaf`-row sub-block at a leaf-aligned sublane offset — small
-           leaves cut the dominant cost (leaf Moller-Trumbore) proportionally
-           while only deepening the cheap box-test walk logarithmically.
+    cone:  SMEM (16, tiles) f32 — per-tile ray cone from `tile_cones` (rows:
+           0-2 apex, 3 apex radius, 4-6 axis, 7 cos(half-angle),
+           8 sin(half-angle); cos > 1.5 marks an all-dead tile). Transposed so
+           SMEM row padding stays bounded.
+    trif:  VMEM (n_blocks, 128, 16) f32 — triangles on sublanes; lanes:
+           0-2 v0, 3-5 e1, 6-8 e2, 9-11 unit geometric normal, 12 face id
+           (exact in f32 below 2^24), 13-15 zero. Padding triangles are
+           degenerate (never hit) with face id -1.
     o, d:  VMEM (3, 1, SUB, 128) f32 ray component planes for this tile
-    out t: (1, SUB, 128) f32;  idx: (1, SUB, 128) i32 padded-tri index (-1 miss)
+    out:   t (1, SUB, 128) f32; idx (padded-tri index, -1 miss) i32;
+           fc (face id, -1 miss) i32; nx/ny/nz (unit normal, 0 on miss) f32
     """
     from jax.experimental import pallas as pl
     import jax.lax as lax
@@ -75,14 +113,29 @@ def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda
 
     ox8, oy8, oz8 = o_ref[0, 0], o_ref[1, 0], o_ref[2, 0]
     dx8, dy8, dz8 = d_ref[0, 0], d_ref[1, 0], d_ref[2, 0]
-    eps = jnp.float32(1e-30)
     big = jnp.float32(1e30)
 
-    def inv(v):
-        ok = jnp.abs(v) > eps
-        return jnp.where(ok, 1.0 / jnp.where(ok, v, 1.0), big)
+    if node_test == "box":
+        eps = jnp.float32(1e-30)
 
-    ix8, iy8, iz8 = inv(dx8), inv(dy8), inv(dz8)
+        def inv(v):
+            ok = jnp.abs(v) > eps
+            return jnp.where(ok, 1.0 / jnp.where(ok, v, 1.0), big)
+
+        ix8, iy8, iz8 = inv(dx8), inv(dy8), inv(dz8)
+
+    tile_id = pl.program_id(0)
+    c_ax = cone_ref[0, tile_id]
+    c_ay = cone_ref[1, tile_id]
+    c_az = cone_ref[2, tile_id]
+    c_r0 = cone_ref[3, tile_id]
+    c_dx = cone_ref[4, tile_id]
+    c_dy = cone_ref[5, tile_id]
+    c_dz = cone_ref[6, tile_id]
+    c_cos = cone_ref[7, tile_id]
+    c_sin = cone_ref[8, tile_id]
+    dead_tile = c_cos > 1.5
+    wide = c_cos < 0.2  # cone too wide for the angular test: always descend
 
     group = PALLAS_BLOCK // leaf  # leaves per batched MT pass
 
@@ -91,16 +144,23 @@ def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda
     loc_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) % leaf
     big_i = jnp.int32(2**30)
 
-    def group_visit(bases, t_best, tri_best):
-        """Batched MT over `group` leaves (PALLAS_BLOCK candidate tris).
+    def group_visit(bases):
+        """Batched MT over `group` leaves (PALLAS_BLOCK candidate tris),
+        folding results straight into the output refs.
 
-        Each individual leaf visit carries ~5 us of fixed cost on v5e (dynamic
-        sublane-slice load, branch, state plumbing) that dwarfs the 16-128
-        triangle tests it performs; concatenating `group` pending leaves into
-        one 128-row pass amortizes all of it. `bases` may contain duplicates
-        (flush padding) — duplicate candidates tie on t and resolve to the
-        same min gidx, so results are unchanged.
+        Accumulating through refs instead of loop-carried values keeps every
+        surrounding cond/while branch scalar-only — measured: a lax.cond
+        carrying (SUB, 128) planes costs ~3 us of state plumbing on v5e,
+        and that (not compute) dominated earlier designs.
+
+        `bases` may contain duplicates (flush padding) — duplicates tie on t
+        and the gidx tie-break resolves every folded attribute to the same
+        triangle, so results are unchanged.
         """
+        t_best = t_ref[0]
+        tri_best = idx_ref[0]
+        fc_best = fc_ref[0]
+        nx_best, ny_best, nz_best = nx_ref[0], ny_ref[0], nz_ref[0]
         tris = []
         for b in bases:
             blk = b // PALLAS_BLOCK
@@ -116,7 +176,9 @@ def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda
         v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]  # (128, 1) cols
         e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
-        t_rows, i_rows = [], []
+        cnx, cny, cnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+        cfc = tri[:, 12:13]
+        t_rows, i_rows, f_rows, nx_rows, ny_rows, nz_rows = [], [], [], [], [], []
         for r in range(sub):  # static unroll over the tile's ray rows
             oxr, oyr, ozr = ox8[r : r + 1, :], oy8[r : r + 1, :], oz8[r : r + 1, :]
             dxr, dyr, dzr = dx8[r : r + 1, :], dy8[r : r + 1, :], dz8[r : r + 1, :]
@@ -143,28 +205,92 @@ def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda
             ii = jnp.min(
                 jnp.where(t <= tl, gidx_col, big_i), axis=0, keepdims=True
             )
+            # Unique-winner mask (ties broken by min gidx) so every folded
+            # attribute comes from the SAME triangle.
+            sel = (t <= tl) & (gidx_col == ii)
+            fl = jnp.min(jnp.where(sel, cfc, big), axis=0, keepdims=True)
+            nxl = jnp.min(jnp.where(sel, cnx, big), axis=0, keepdims=True)
+            nyl = jnp.min(jnp.where(sel, cny, big), axis=0, keepdims=True)
+            nzl = jnp.min(jnp.where(sel, cnz, big), axis=0, keepdims=True)
             tb = t_best[r : r + 1, :]
-            ib = tri_best[r : r + 1, :]
             upd = tl < tb
             t_rows.append(jnp.where(upd, tl, tb))
-            i_rows.append(jnp.where(upd, ii, ib))
-        t_best = jnp.concatenate(t_rows, axis=0)
-        tri_best = jnp.concatenate(i_rows, axis=0)
-        return t_best, tri_best
+            i_rows.append(jnp.where(upd, ii, tri_best[r : r + 1, :]))
+            f_rows.append(jnp.where(upd, fl.astype(jnp.int32), fc_best[r : r + 1, :]))
+            nx_rows.append(jnp.where(upd, nxl, nx_best[r : r + 1, :]))
+            ny_rows.append(jnp.where(upd, nyl, ny_best[r : r + 1, :]))
+            nz_rows.append(jnp.where(upd, nzl, nz_best[r : r + 1, :]))
+        new_t = jnp.concatenate(t_rows, axis=0)
+        # Scalar far plane for traversal pruning: one reduce + one SMEM store
+        # per drain (~0.8 us), amortized over a whole 128-triangle MT pass.
+        tcap_ref[0, 0] = jnp.max(new_t)
+        t_ref[0] = new_t
+        idx_ref[0] = jnp.concatenate(i_rows, axis=0)
+        fc_ref[0] = jnp.concatenate(f_rows, axis=0)
+        nx_ref[0] = jnp.concatenate(nx_rows, axis=0)
+        ny_ref[0] = jnp.concatenate(ny_rows, axis=0)
+        nz_ref[0] = jnp.concatenate(nz_rows, axis=0)
 
-    def box_any_hit(nk, t_best):
-        bminx = nodef_ref[0, nk]
-        bminy = nodef_ref[1, nk]
-        bminz = nodef_ref[2, nk]
-        bmaxx = nodef_ref[3, nk]
-        bmaxy = nodef_ref[4, nk]
-        bmaxz = nodef_ref[5, nk]
-        lox = (bminx - ox8) * ix8
-        hix = (bmaxx - ox8) * ix8
-        loy = (bminy - oy8) * iy8
-        hiy = (bmaxy - oy8) * iy8
-        loz = (bminz - oz8) * iz8
-        hiz = (bmaxz - oz8) * iz8
+    def cone_node_hit(nk, t_cap):
+        """Scalar cone-vs-node-AABB test (conservative, no vector state).
+
+        The cone is treated as its axis ray with a radius that grows as
+        w(t) = r0 + sin(theta) * t; the slab test expands each AABB
+        half-extent by w(t), which linearizes into per-axis bounds:
+            |c_i - t a_i| <= h_i + r0 + sin * t
+        ->  t >= (c_i - h_i - r0) / (a_i + sin)   [entry, denom > 0]
+            t <= (c_i + h_i + r0) / (a_i - sin)   [exit when a_i > sin]
+        This is much tighter than a bounding-sphere test for the flat, wide
+        boxes of terrain meshes. Wide cones (sin ~ 1) degrade gracefully:
+        denominators go non-positive and the bound drops away (conservative).
+        """
+        t_lo = jnp.float32(0.0)
+        t_hi = jnp.minimum(t_cap, jnp.float32(T_MAX))
+        for ci, ai, hrow in (
+            (nodef_ref[0, nk] - c_ax, c_dx, 4),
+            (nodef_ref[1, nk] - c_ay, c_dy, 5),
+            (nodef_ref[2, nk] - c_az, c_dz, 6),
+        ):
+            h = nodef_ref[hrow, nk] + c_r0
+            # entry: need t*(a_i + sin) >= c_i - h (lower side) and
+            #        t*(sin - a_i) >= -(c_i + h) (upper side)
+            dp = ai + c_sin
+            dm = ai - c_sin
+            lo1 = (ci - h) / jnp.where(dp > 1e-12, dp, 1.0)
+            # infeasible when the slab lies ahead on an axis the cone
+            # cannot advance along (dp <= 0 and c_i - h > 0)
+            inf1 = (dp <= 1e-12) & (ci - h > 0.0)
+            hi1 = (ci + h) / jnp.where(dm > 1e-12, dm, 1.0)
+            unb1 = dm <= 1e-12  # no exit bound on this side
+            t_lo = jnp.maximum(t_lo, jnp.where(dp > 1e-12, jnp.maximum(lo1, 0.0), 0.0))
+            t_hi = jnp.where(inf1, jnp.float32(-1.0), jnp.where(unb1, t_hi, jnp.minimum(t_hi, hi1)))
+            # mirrored axis (cone pointing the other way): -c_i case
+            dp2 = -ai + c_sin
+            dm2 = -ai - c_sin
+            lo2 = (-ci - h) / jnp.where(dp2 > 1e-12, dp2, 1.0)
+            inf2 = (dp2 <= 1e-12) & (-ci - h > 0.0)
+            hi2 = (-ci + h) / jnp.where(dm2 > 1e-12, dm2, 1.0)
+            unb2 = dm2 <= 1e-12
+            t_lo = jnp.maximum(t_lo, jnp.where(dp2 > 1e-12, jnp.maximum(lo2, 0.0), 0.0))
+            t_hi = jnp.where(inf2, jnp.float32(-1.0), jnp.where(unb2, t_hi, jnp.minimum(t_hi, hi2)))
+        return (~dead_tile) & (t_lo <= t_hi)
+
+    def box_node_hit(nk, t_best):
+        """Per-ray slab test + any() reduce. Prunes 2-3x better than the cone
+        test (each ray caps at its own current best t) at the price of one
+        ~350 ns vector->scalar reduce per node — amortize with big tiles."""
+        cx = nodef_ref[0, nk]
+        cy = nodef_ref[1, nk]
+        cz = nodef_ref[2, nk]
+        hx = nodef_ref[4, nk]
+        hy = nodef_ref[5, nk]
+        hz = nodef_ref[6, nk]
+        lox = (cx - hx - ox8) * ix8
+        hix = (cx + hx - ox8) * ix8
+        loy = (cy - hy - oy8) * iy8
+        hiy = (cy + hy - oy8) * iy8
+        loz = (cz - hz - oz8) * iz8
+        hiz = (cz + hz - oz8) * iz8
         t_near = jnp.maximum(
             jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
             jnp.minimum(loz, hiz),
@@ -173,82 +299,91 @@ def _kernel(nodef_ref, nodei_ref, trif_ref, o_ref, d_ref, t_ref, idx_ref, agenda
             jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
             jnp.maximum(loz, hiz),
         )
-        # Per-ray pruning against each ray's current best hit (tighter than
-        # any tile-wide scalar cap; t_best is already in registers/VMEM).
-        box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= t_min)
+        box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= jnp.float32(T_MIN_EPS))
         return jnp.any(box_hit)
 
-    def pop_group(args):
-        tb, ib, c = args
-        bases = [agenda_ref[c - group + g] for g in range(group)]
-        tb, ib = group_visit(bases, tb, ib)
-        return tb, ib, c - group
+    def shift(slots):
+        # FIFO shift the register agenda down by `group`.
+        return tuple(
+            slots[i + group] if i + group < _SLOTS else slots[i]
+            for i in range(_SLOTS)
+        )
 
     def body(state):
-        node, count, t_best, tri_best = state
-        # Speculative K-run: the serial bottleneck of a one-node-at-a-time
-        # walk is the vector->scalar `any()` reduce feeding the next cursor
-        # value (~2 us of dead latency per node on v5e). Testing K consecutive
-        # preorder nodes up front makes the K reduces data-independent so
-        # their latencies overlap; the cursor then advances through the
-        # precomputed hit bits with cheap scalar logic. Preorder contiguity
-        # makes the speculation mostly useful: a descending traversal visits
-        # exactly node+1, and skip targets inside the window reuse its bits.
-        hits = [box_any_hit(node + k, t_best) for k in range(_K_SPEC)]
+        node, count, slots = state
+        if node_test == "box":
+            t_best = t_ref[0]
+            hits = [box_node_hit(node + k, t_best) for k in range(_K_SPEC)]
+        else:
+            t_cap = tcap_ref[0, 0]  # scalar far-plane from the last drain
+            hits = [cone_node_hit(node + k, t_cap) for k in range(_K_SPEC)]
         metas = [(nodei_ref[0, node + k], nodei_ref[2, node + k]) for k in range(_K_SPEC)]
         cur = node
+        slots = list(slots)
         for k in range(_K_SPEC):
             base_k, skip_k = metas[k]
             valid = cur == node + k
             hit = valid & hits[k]
             is_leaf = base_k >= 0
             take = hit & is_leaf
-
-            # Hit leaves go on the agenda; MT runs in batched group passes.
-            # The store is UNCONDITIONAL — branches (pl.when / lax.cond) cost
-            # ~350 ns of pipeline drain each on v5e, which dominated earlier
-            # designs (~70 branches/tile = 25 us). When `take` is false the
-            # cursor doesn't advance, so the junk entry is overwritten by the
-            # next taken leaf (or never read — `count` bounds valid entries).
-            agenda_ref[count] = base_k
+            # Place hit leaves in the scalar-register agenda. Pure scalar
+            # selects — no SMEM store, no branch (both ~0.4 us each on v5e).
+            for i in range(_SLOTS):
+                slots[i] = jnp.where(take & (count == i), base_k, slots[i])
             count = count + take.astype(jnp.int32)
             # Leaf hit advances to skip_k too (a leaf's skip is its preorder
             # successor); internal hit descends to the next preorder node.
             nxt = jnp.where(hit & ~is_leaf, cur + 1, skip_k)
             cur = jnp.where(valid, nxt, cur)
+        slots = tuple(slots)
+        # Drain full groups — 8/group scalar-predicated passes per K-run body
+        # keep the slot count bounded below `group` at body end (group divides
+        # _K_SPEC). The pl.when body only touches refs, so the branch carries
+        # no vector state.
+        for _ in range(_K_SPEC // group):
+            drained = count >= group
 
-        # Drain one full group if pending — the single branch per K-run body.
-        # Worst case adds _K_SPEC entries/body and drains `group`, so the
-        # agenda stays bounded for group >= _K_SPEC; smaller groups rely on
-        # the 64-slot headroom plus one drain per subsequent body.
-        t_best, tri_best, count = lax.cond(
-            count >= group, pop_group, lambda a: a, (t_best, tri_best, count)
-        )
-        return cur, count, t_best, tri_best
+            @pl.when(drained)
+            def _(bs=slots[:group]):
+                group_visit(list(bs))
+
+            count = jnp.where(drained, count - group, count)
+            slots = tuple(
+                jnp.where(drained, s, slots[i]) for i, s in enumerate(shift(slots))
+            )
+        return cur, count, slots
 
     def cond(state):
         return state[0] < n_nodes
 
-    t0 = jnp.full((sub, 128), _MISS, jnp.float32)
-    i0 = jnp.full((sub, 128), -1, jnp.int32)
-    _, count, t_best, tri_best = lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), t0, i0)
+    # Output refs double as hit accumulators during traversal.
+    t_ref[0] = jnp.full((sub, 128), _MISS, jnp.float32)
+    idx_ref[0] = jnp.full((sub, 128), -1, jnp.int32)
+    fc_ref[0] = jnp.full((sub, 128), -1, jnp.int32)
+    nx_ref[0] = jnp.zeros((sub, 128), jnp.float32)
+    ny_ref[0] = jnp.zeros((sub, 128), jnp.float32)
+    nz_ref[0] = jnp.zeros((sub, 128), jnp.float32)
+    tcap_ref[0, 0] = jnp.float32(_MISS)
+
+    slots0 = tuple(jnp.int32(0) for _ in range(_SLOTS))
+    _, count, slots = lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), slots0)
     )
 
-    # Drain everything still pending; slots below index 0 duplicate entry 0
-    # (harmless, see group_visit). Never entered when nothing is pending —
-    # agenda slot 0 is uninitialized then.
-    def flush_body(args):
-        tb, ib, c = args
-        bases = [agenda_ref[jnp.maximum(c - group + g, 0)] for g in range(group)]
-        tb, ib = group_visit(bases, tb, ib)
-        return tb, ib, jnp.maximum(c - group, 0)
+    # Drain the partial tail; slots at/above `count` duplicate slot 0 (valid
+    # whenever count > 0, and duplicates are harmless — see group_visit).
+    def flush_body(state):
+        count, slots = state
+        bases = [
+            jnp.where(count > g, slots[g], slots[0]) for g in range(group)
+        ]
+        group_visit(bases)
+        return jnp.maximum(count - group, 0), shift(slots)
 
-    t_best, tri_best, _ = lax.while_loop(
-        lambda args: args[2] > 0, flush_body, (t_best, tri_best, count)
-    )
-    t_ref[0] = t_best
-    idx_ref[0] = jnp.where(t_best < 1e29, tri_best, -1)
+    lax.while_loop(lambda s: s[0] > 0, flush_body, (count, slots))
+
+    # Miss masking (t stays at the MISS sentinel; idx/fc already -1 there,
+    # normals already 0 — nothing read them before a first hit fold).
 
 
 def _pack_bvh(flat: FlatBVH):
@@ -256,10 +391,15 @@ def _pack_bvh(flat: FlatBVH):
     n = flat.n_nodes
     npad = n + _K_SPEC - 1  # speculative window may read past the last node
     nodef = np.zeros((8, npad), np.float32)
-    nodef[0:3, :n] = flat.aabb_min.T
-    nodef[3:6, :n] = flat.aabb_max.T
-    nodef[0:3, n:] = 1e30  # inverted box: padding nodes never hit
-    nodef[3:6, n:] = -1e30
+    center = 0.5 * (flat.aabb_min + flat.aabb_max)
+    half = 0.5 * (flat.aabb_max - flat.aabb_min)
+    nodef[0:3, :n] = center.T
+    nodef[3, :n] = np.linalg.norm(half, axis=1)  # bounding-sphere radius
+    nodef[4:7, :n] = half.T
+    # Padding nodes sit far away with zero radius; if a pathological cone
+    # still "hits" one they are internal (-1 base) and the cursor just walks
+    # +1 through the <= _K_SPEC-1 of them to the exit.
+    nodef[0:3, n:] = 4e18
     nodei = np.zeros((8, npad), np.int32)
     # Padded-tri start for leaves (leaf_size-aligned by the builder); -1 marks
     # internal nodes.
@@ -275,54 +415,136 @@ def _pack_bvh(flat: FlatBVH):
     pad = (-p) % PALLAS_BLOCK
     blocks = (p + pad) // PALLAS_BLOCK
 
-    def padded(a):
+    def padded3(a):
         return np.concatenate([a, np.zeros((pad, 3), np.float32)]) if pad else a
 
+    nrm = np.cross(flat.tri_e1, flat.tri_e2)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+    face = flat.tri_face.astype(np.float32)
+    if pad:
+        face = np.concatenate([face, np.full((pad,), -1.0, np.float32)])
+
     trif = np.zeros((blocks, PALLAS_BLOCK, 16), np.float32)
-    trif[:, :, 0:3] = padded(flat.tri_v0).reshape(blocks, PALLAS_BLOCK, 3)
-    trif[:, :, 3:6] = padded(flat.tri_e1).reshape(blocks, PALLAS_BLOCK, 3)
-    trif[:, :, 6:9] = padded(flat.tri_e2).reshape(blocks, PALLAS_BLOCK, 3)
+    trif[:, :, 0:3] = padded3(flat.tri_v0).reshape(blocks, PALLAS_BLOCK, 3)
+    trif[:, :, 3:6] = padded3(flat.tri_e1).reshape(blocks, PALLAS_BLOCK, 3)
+    trif[:, :, 6:9] = padded3(flat.tri_e2).reshape(blocks, PALLAS_BLOCK, 3)
+    trif[:, :, 9:12] = padded3(nrm).reshape(blocks, PALLAS_BLOCK, 3)
+    trif[:, :, 12] = face.reshape(blocks, PALLAS_BLOCK)
     return jnp.asarray(nodef), jnp.asarray(nodei), jnp.asarray(trif)
 
 
-@partial(jax.jit, static_argnames=("interpret", "sub", "leaf"))
-def _pallas_hit_padded(nodef, nodei, trif, o, d, *, interpret=False, sub=8, leaf=PALLAS_LEAF):
-    """(N, 3) rays (N multiple of sub*128) -> (t, padded_tri_idx)."""
+DEAD_RAY_POS = 1e8  # |origin| beyond this marks a parked (dead) ray
+
+
+def tile_cones(oT, dT):
+    """Per-tile bounding cones for the scalar traversal: (16, tiles) f32 rows
+    [apex xyz, apex radius, axis xyz, cos, sin, 0...]. Rays parked beyond
+    DEAD_RAY_POS are excluded; an all-dead tile gets cos=2 (never hits).
+    Vectorized XLA over the whole batch — off the kernel's critical path."""
+    alive = jnp.max(jnp.abs(oT), axis=0) < DEAD_RAY_POS  # (tiles, sub, 128)
+    a3 = alive[None]
+    cnt = jnp.sum(alive, axis=(1, 2))  # (tiles,)
+    any_alive = cnt > 0
+
+    omin = jnp.min(jnp.where(a3, oT, jnp.inf), axis=(2, 3))  # (3, tiles)
+    omax = jnp.max(jnp.where(a3, oT, -jnp.inf), axis=(2, 3))
+    apex = jnp.where(any_alive[None], 0.5 * (omin + omax), 0.0)
+    dist2 = jnp.sum((oT - apex[:, :, None, None]) ** 2, axis=0)
+    r0 = jnp.sqrt(jnp.max(jnp.where(alive, dist2, 0.0), axis=(1, 2)))
+
+    dsum = jnp.sum(jnp.where(a3, dT, 0.0), axis=(2, 3))  # (3, tiles)
+    norm = jnp.sqrt(jnp.sum(dsum * dsum, axis=0))
+    ok = norm > 1e-6
+    axis = jnp.where(ok[None], dsum / jnp.maximum(norm, 1e-30)[None], 
+                     jnp.asarray([0.0, 0.0, 1.0], jnp.float32)[:, None])
+    cosd = jnp.sum(axis[:, :, None, None] * dT, axis=0)  # (tiles, sub, 128)
+    cmin = jnp.min(jnp.where(alive, cosd, 1.0), axis=(1, 2))
+    # Directions spanning more than a hemisphere (or cancelling out) fall
+    # back to the always-descend wide path.
+    cmin = jnp.where(ok, cmin, -1.0)
+    cmin = jnp.where(any_alive, cmin, 2.0)  # dead-tile sentinel
+    sin = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(cmin, 1.0) ** 2, 0.0))
+
+    tiles = oT.shape[1]
+    cone = jnp.zeros((16, tiles), jnp.float32)
+    cone = cone.at[0:3, :].set(apex)
+    cone = cone.at[3, :].set(r0)
+    cone = cone.at[4:7, :].set(axis)
+    cone = cone.at[7, :].set(cmin)
+    cone = cone.at[8, :].set(sin)
+    return cone
+
+
+@partial(jax.jit, static_argnames=("interpret", "sub", "leaf", "node_test"))
+def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, leaf=PALLAS_LEAF, node_test="box"):
+    """Tiled rays (3, tiles, sub, 128) -> per-ray planes (tiles, sub, 128):
+    (t, padded_tri_idx, face, nx, ny, nz)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = o.shape[0]
-    tile = sub * 128
-    tiles = n // tile
-    oT = o.T.reshape(3, tiles, sub, 128)
-    dT = d.T.reshape(3, tiles, sub, 128)
+    # Chunk the tile axis so the per-tile cone table stays within the 1 MB
+    # SMEM budget (16 rows x chunk x 4 B; 8192 tiles = 512 KB).
+    max_tiles = 8192
+    total = oT.shape[1]
+    if total > max_tiles:
+        n_chunks = -(-total // max_tiles)
+        per = -(-total // n_chunks)
+        pad = n_chunks * per - total
+        if pad:
+            oT = jnp.concatenate(
+                [oT, jnp.full((3, pad) + oT.shape[2:], 2e8, oT.dtype)], axis=1
+            )  # parked rays: dead-tile cones, instant exit
+            dT = jnp.concatenate(
+                [dT, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dT.dtype)[:, None, None, None], (3, pad) + dT.shape[2:])], axis=1
+            )
+        chunks = [
+            _pallas_hit_tiled(
+                nodef, nodei, trif,
+                oT[:, i * per : (i + 1) * per], dT[:, i * per : (i + 1) * per],
+                interpret=interpret, sub=sub, leaf=leaf, node_test=node_test,
+            )
+            for i in range(n_chunks)
+        ]
+        return tuple(
+            jnp.concatenate([c[j] for c in chunks], axis=0)[:total] for j in range(6)
+        )
 
-    t, idx = pl.pallas_call(
-        partial(_kernel, sub=sub, leaf=leaf),
+    cone = tile_cones(oT, dT)
+    tiles = oT.shape[1]
+    plane = lambda dt: jax.ShapeDtypeStruct((tiles, sub, 128), dt)
+    spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_kernel, sub=sub, leaf=leaf, node_test=node_test),
         grid=(tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[spec] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, sub, 128), jnp.int32),
+            plane(jnp.float32),
+            plane(jnp.int32),
+            plane(jnp.int32),
+            plane(jnp.float32),
+            plane(jnp.float32),
+            plane(jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((256,), jnp.int32)],  # pending-leaf agenda
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],  # traversal far plane
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # trif copy + 6 out blocks pass 16 MB
+        ),
         interpret=interpret,
-    )(nodef, nodei, trif, oT, dT)
-    return t.reshape(n), idx.reshape(n)
+    )(nodef, nodei, cone, trif, oT, dT)
+    return outs
 
 
 class _PallasBVH:
-    def __init__(self, flat: FlatBVH, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS):
+    def __init__(self, flat: FlatBVH, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
+                 node_test: str = "box"):
         if 128 % flat.leaf_size or flat.leaf_size < 8:
             raise ValueError("pallas backend needs leaf_size in {8,16,32,64,128}")
         if flat.n_padded_tris > 512 * 1024:
@@ -342,11 +564,24 @@ class _PallasBVH:
         self.interpret = interpret
         self.tile_rays = tile_rays
         self.leaf = flat.leaf_size
+        self.node_test = node_test
+
+
+def pallas_hit_planes(pb: _PallasBVH, oT, dT):
+    """SoA entry: rays as (3, tiles, sub, 128) component planes (the tracer's
+    native layout — no AoS transposes). Returns (t, idx, face, nx, ny, nz)
+    planes of shape (tiles, sub, 128)."""
+    return _pallas_hit_tiled(
+        pb.nodef, pb.nodei, pb.trif, oT, dT,
+        interpret=pb.interpret, sub=oT.shape[2], leaf=pb.leaf,
+        node_test=pb.node_test,
+    )
 
 
 def pallas_closest_hit(pb: _PallasBVH, o, d):
-    """Forward closest hit: (t, face, padded_tri_idx). Pads the ray batch to
-    the tile quantum with dead rays."""
+    """AoS entry: (N, 3) rays -> (t, face, padded_tri_idx), each (N,). Pads
+    the ray batch to the tile quantum with dead rays. Face ids come from the
+    kernel's in-kernel fold — no N-sized gather."""
     n = o.shape[0]
     pad = (-n) % pb.tile_rays
     if pad:
@@ -354,16 +589,17 @@ def pallas_closest_hit(pb: _PallasBVH, o, d):
         d = jnp.concatenate(
             [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), (pad, 3))]
         )
-    t, idx = _pallas_hit_padded(
-        pb.nodef, pb.nodei, pb.trif, o, d,
-        interpret=pb.interpret, sub=pb.tile_rays // 128, leaf=pb.leaf,
-    )
-    t, idx = t[:n], idx[:n]
-    face = jnp.where(idx >= 0, pb.tri_face[jnp.maximum(idx, 0)], -1)
-    return t, face, idx
+    m = o.shape[0]
+    sub = pb.tile_rays // 128
+    tiles = m // pb.tile_rays
+    oT = o.T.reshape(3, tiles, sub, 128)
+    dT = d.T.reshape(3, tiles, sub, 128)
+    t, idx, face, _, _, _ = pallas_hit_planes(pb, oT, dT)
+    return t.reshape(m)[:n], face.reshape(m)[:n], idx.reshape(m)[:n]
 
 
-def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS):
+def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
+                        node_test: str = "box"):
     """env_hit(o, d, v0, e1, e2) -> (t, face) with Pallas forward + custom VJP
     (straight-through selection; closed-form t backward on the selected face,
     cotangents to the ray arrays — the BVH triangle copy is constant, matching
@@ -376,7 +612,7 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
         flat = flat_or_mesh
     else:
         flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_LEAF)
-    pb = _PallasBVH(flat, interpret=interpret, tile_rays=tile_rays)
+    pb = _PallasBVH(flat, interpret=interpret, tile_rays=tile_rays, node_test=node_test)
 
     @jax.custom_vjp
     def env_hit_op(o, d):
