@@ -1,17 +1,24 @@
-"""Headline benchmark: Mrays/s for a full multi-bounce CIR trace on TPU.
+"""Headline benchmark: end-to-end Mrays/s for a full multi-bounce CIR trace.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's primary entry point (ref main.py:15-21:
-5M rays x 4 bounces, terrain scene, 20000-bin IR). The reference publishes no
-numbers (BASELINE.md); vs_baseline is measured against an assumed 100 Mrays/s
-for the Warp reference on a modern NVIDIA GPU — a deliberately generous
-estimate, documented here so the ratio is interpretable.
+5M rays x 4 bounces, terrain scene, 20000-bin IR), executed end-to-end on
+device: Morton-coherent ray spawn -> Pallas BVH traversal (kernel-folded
+normals) -> per-bounce Fresnel/delay accumulation -> scatter-add IR binning.
 
-Scene selection: the apollo_17 terrain stand-in (procedural crater field,
-SURVEY.md C10 notes the original STL is a missing blob) once a large-mesh
-backend (BVH/Pallas) is available; otherwise the 44-triangle room with the
-brute-force intersector.
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against an assumed 100 Mrays/s for the Warp reference on a modern NVIDIA
+GPU — a deliberately generous estimate, documented here so the ratio is
+interpretable.
+
+Timing protocol (see memory: axon TPU quirks): the axon relay executes
+lazily and `block_until_ready` does not actually block until the process has
+performed one device->host transfer, after which every dispatch pays a ~24 ms
+synchronous round-trip. We deliberately enter that mode up front and time
+whole traces with a scalar download as the sync point — an honest,
+conservative wall-clock measurement (the round-trip overhead counts against
+us).
 """
 
 from __future__ import annotations
@@ -21,8 +28,6 @@ import time
 
 import numpy as np
 
-REFERENCE_EST_MRAYS = 100.0
-
 
 def main():
     import jax
@@ -30,59 +35,51 @@ def main():
 
     from rfx import sampler
     from rfx.cir import cir_from_trace
-    from rfx.geometry import load_stl, make_room, make_terrain
+    from rfx.geometry import make_terrain
     from rfx.ops.intersect import make_env_intersector
     from rfx.tracer import Scene, trace_to_rx
 
-    n_rays = 5_000_000
+    # Enter the relay's synchronous mode before any timing (see module doc).
+    _ = np.asarray(jnp.ones((8, 128)))
+
+    n_rays = 5_242_880  # ~5M, multiple of the 1024-ray kernel tile
     max_bounces = 4
     nbins = 20_000
 
-    # Prefer the large terrain once an accelerated backend exists.
-    try:
-        from rfx.ops.bvh_backend import available as bvh_available
-    except ImportError:
-        bvh_available = lambda: False
-
-    if bvh_available():
-        mesh = make_terrain(grid=128, extent=60.0, seed=0)
-        env_hit = make_env_intersector("bvh", mesh=mesh)
-        scene_name = "terrain(32k tris)"
-    else:
-        try:
-            mesh = load_stl("/root/reference/models/room.stl")
-        except (OSError, ValueError):
-            mesh = make_room()
-        env_hit = make_env_intersector("brute")
-        scene_name = f"room({mesh.num_faces} tris)"
-
+    # Apollo-17 stand-in: the reference's terrain STL is a missing large blob
+    # (SURVEY.md C10), so the flagship scene is a procedural crater field of
+    # comparable triangle count (32k).
+    mesh = make_terrain(grid=128, extent=60.0, seed=0)
     scene = Scene.from_mesh(mesh)
-    tx = jnp.asarray([10.0, 0.0, 5.0], jnp.float32)
-    rx = jnp.asarray([-10.0, 0.0, 5.0], jnp.float32)
-    key = jax.random.PRNGKey(0)
-    dirs = sampler.sphere_directions(key, n_rays)
+    env_hit = make_env_intersector("pallas", mesh=mesh)
+    scene_name = f"terrain({mesh.num_faces} tris)"
+
+    tx = jnp.asarray([10.0, 0.0, 25.0], jnp.float32)
+    rx = jnp.asarray([-10.0, 0.0, 8.0], jnp.float32)
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(0), n_rays)
 
     @jax.jit
     def run(vertices, faces, tx_pos, rx_pos, directions):
         result = trace_to_rx(
-            Scene(vertices, faces), tx_pos, directions, rx_pos, 0.1,
+            Scene(vertices, faces), tx_pos, directions, rx_pos, 1.0,
             max_bounces=max_bounces, rx_mode="analytic", env_hit=env_hit,
         )
         ir = cir_from_trace(
             result, tx_power=1.0, num_rays=n_rays, nbins=nbins,
             light_speed_mps=2.998e8, sample_rate_hz=100e9,
         )
-        return ir, result.captured.sum()
+        # Scalar sync point: timing downloads this, nothing else.
+        return ir.sum(), result.captured.sum()
 
-    # Warm-up compile.
-    ir, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
-    jax.block_until_ready(ir)
+    # Warm-up compile + one fully synced execution.
+    s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+    assert float(s) > 0 and int(ncap) > 0, "benchmark trace captured nothing"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        ir, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
-        jax.block_until_ready(ir)
+        s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+        _ = float(s)  # force real completion through the relay
         times.append(time.perf_counter() - t0)
 
     best = min(times)
@@ -90,10 +87,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"CIR trace throughput ({scene_name}, {max_bounces} bounces, {n_rays} rays)",
+                "metric": f"end-to-end CIR trace ({scene_name}, {max_bounces} bounces, {n_rays} rays, 20k-bin IR)",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / REFERENCE_EST_MRAYS, 3),
+                "vs_baseline": round(mrays / 100.0, 3),
             }
         )
     )

@@ -212,7 +212,8 @@ bvh_closest_hit.defvjp(_bvh_hit_fwd, _bvh_hit_bwd)
 
 
 def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
-    """Returns env_hit(o, d, v0, e1, e2) -> (t, face) using BVH traversal.
+    """Returns env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm) using BVH
+    traversal (nrm gathered from `normals` by hit face).
 
     The (v0, e1, e2) args of the intersector interface are ignored for hit
     *selection* (the BVH carries its own leaf-reordered copy); pass
@@ -225,7 +226,7 @@ def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
         pad = flat.tri_face < 0
         base = device_bvh(flat)
 
-        def env_hit(o, d, v0, e1, e2):
+        def env_hit(o, d, v0, e1, e2, normals):
             lv0 = v0[face_idx]
             le1 = e1[face_idx]
             le2 = e2[face_idx]
@@ -236,13 +237,15 @@ def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
                 tri_e1=jnp.where(padj, zero, le1),
                 tri_e2=jnp.where(padj, zero, le2),
             )
-            return bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
+            t, face = bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
+            return t, face, normals[jnp.clip(face, 0, None)]
 
         return env_hit
 
     bvh = device_bvh(flat)
 
-    def env_hit(o, d, v0, e1, e2):
-        return bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
+    def env_hit(o, d, v0, e1, e2, normals):
+        t, face = bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
+        return t, face, normals[jnp.clip(face, 0, None)]
 
     return env_hit

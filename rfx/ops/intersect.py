@@ -227,7 +227,13 @@ _sphere_custom.defvjp(_sphere_fwd, _sphere_bwd)
 
 
 def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kwargs):
-    """Factory: returns env_hit(o, d, v0, e1, e2) -> (t, face).
+    """Factory: returns env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm).
+
+    `nrm` is the unit geometric normal of the hit face ((N, 3); zeros on
+    miss are NOT guaranteed — callers mask by hit). The Pallas backend folds
+    it inside the kernel; jnp backends gather from `normals` (an N-sized
+    gather — fine on CPU and for small meshes, ~21 ms at 5M rays on the TPU,
+    which is why the hot path uses the kernel fold).
 
     backend:
       'brute'  — jnp Moller-Trumbore over all triangles (gold path, small meshes)
@@ -235,10 +241,12 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
       'pallas' — BVH traversal as a Pallas TPU kernel (needs mesh=)
     """
     if backend == "brute":
-        def env_hit(o, d, v0, e1, e2):
+        def env_hit(o, d, v0, e1, e2, normals):
             chunk = ray_chunk if o.shape[0] % ray_chunk == 0 else 0
             # positional: custom_vjp functions reject keyword arguments
-            return ray_mesh_closest_hit_brute(o, d, v0, e1, e2, T_MIN_EPS, T_MAX, chunk)
+            t, face = ray_mesh_closest_hit_brute(o, d, v0, e1, e2, T_MIN_EPS, T_MAX, chunk)
+            nrm = normals[jnp.clip(face, 0, None)]
+            return t, face, nrm
 
         return env_hit
     if backend in ("bvh", "pallas"):
@@ -257,5 +265,9 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
         from rfx.ops.pallas_trace import PALLAS_LEAF, make_pallas_env_hit
 
         flat = kwargs.get("flat_bvh") or build_bvh(mesh, leaf_size=PALLAS_LEAF)
-        return make_pallas_env_hit(flat, interpret=kwargs.get("interpret", False))
+        return make_pallas_env_hit(
+            flat,
+            interpret=kwargs.get("interpret", False),
+            node_test=kwargs.get("node_test", "box"),
+        )
     raise ValueError(f"unknown intersector backend: {backend}")

@@ -579,9 +579,9 @@ def pallas_hit_planes(pb: _PallasBVH, oT, dT):
 
 
 def pallas_closest_hit(pb: _PallasBVH, o, d):
-    """AoS entry: (N, 3) rays -> (t, face, padded_tri_idx), each (N,). Pads
-    the ray batch to the tile quantum with dead rays. Face ids come from the
-    kernel's in-kernel fold — no N-sized gather."""
+    """AoS entry: (N, 3) rays -> (t, face, padded_tri_idx, nrm (N, 3)). Pads
+    the ray batch to the tile quantum with dead rays. Face ids and normals
+    come from the in-kernel fold — no N-sized gather."""
     n = o.shape[0]
     pad = (-n) % pb.tile_rays
     if pad:
@@ -594,16 +594,22 @@ def pallas_closest_hit(pb: _PallasBVH, o, d):
     tiles = m // pb.tile_rays
     oT = o.T.reshape(3, tiles, sub, 128)
     dT = d.T.reshape(3, tiles, sub, 128)
-    t, idx, face, _, _, _ = pallas_hit_planes(pb, oT, dT)
-    return t.reshape(m)[:n], face.reshape(m)[:n], idx.reshape(m)[:n]
+    t, idx, face, nx, ny, nz = pallas_hit_planes(pb, oT, dT)
+    nrm = jnp.stack([nx.reshape(m), ny.reshape(m), nz.reshape(m)], axis=1)[:n]
+    return t.reshape(m)[:n], face.reshape(m)[:n], idx.reshape(m)[:n], nrm
 
 
 def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
                         node_test: str = "box"):
-    """env_hit(o, d, v0, e1, e2) -> (t, face) with Pallas forward + custom VJP
-    (straight-through selection; closed-form t backward on the selected face,
-    cotangents to the ray arrays — the BVH triangle copy is constant, matching
-    rfx.ops.bvh_traverse's non-differentiable-tris mode).
+    """env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm) with Pallas
+    forward + custom VJP (straight-through selection; closed-form t backward
+    on the selected face, cotangents to the ray arrays — the BVH triangle
+    copy is constant, matching rfx.ops.bvh_traverse's non-differentiable-tris
+    mode; the normal is piecewise constant in (o, d), so its cotangent is
+    discarded).
+
+    The normal comes from the in-kernel fold, NOT from `normals` (which is
+    ignored) — no N-sized gather on the bounce loop's critical path.
 
     Accepts a FlatBVH built with leaf_size=PALLAS_LEAF, or a TriangleMesh
     (builds one).
@@ -616,16 +622,16 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
 
     @jax.custom_vjp
     def env_hit_op(o, d):
-        t, face, _ = pallas_closest_hit(pb, o, d)
-        return t, face
+        t, face, _, nrm = pallas_closest_hit(pb, o, d)
+        return t, face, nrm
 
     def fwd(o, d):
-        t, face, idx = pallas_closest_hit(pb, o, d)
-        return (t, face), (o, d, idx, t)
+        t, face, idx, nrm = pallas_closest_hit(pb, o, d)
+        return (t, face, nrm), (o, d, idx, t)
 
     def bwd(res, cotangents):
         o, d, idx, t = res
-        g_t, _ = cotangents
+        g_t, _, _ = cotangents  # face is int; normal is piecewise constant
         sel = jnp.maximum(idx, 0)
         hit = (idx >= 0) & is_hit(t)
         g = jnp.where(hit, g_t, 0.0)
@@ -639,7 +645,7 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
 
     env_hit_op.defvjp(fwd, bwd)
 
-    def env_hit(o, d, v0, e1, e2):
+    def env_hit(o, d, v0, e1, e2, normals):
         return env_hit_op(o, d)
 
     return env_hit

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["reflect", "bend_angle", "fresnel_bounce_amplitude"]
+__all__ = ["reflect", "bend_angle", "fresnel_bounce_amplitude", "reflect_p", "bend_angle_p"]
 
 
 def reflect(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
@@ -50,3 +50,15 @@ def fresnel_bounce_amplitude(angle_between, n1=5.0, n2=1.0):
     out = -amp
     out = jnp.where(valid & (denom != 0.0) & ~jnp.isnan(angle_between), out, 0.0)
     return out
+
+
+def reflect_p(d3: jnp.ndarray, n3: jnp.ndarray) -> jnp.ndarray:
+    """`reflect` in planes layout: (3, N) components-first arrays (the bounce
+    loop's TPU-native layout — no (N, 3) minor-axis padding, no transposes)."""
+    return d3 - 2.0 * jnp.sum(d3 * n3, axis=0, keepdims=True) * n3
+
+
+def bend_angle_p(d_in3: jnp.ndarray, d_out3: jnp.ndarray) -> jnp.ndarray:
+    """`bend_angle` in planes layout: (3, N) inputs, (N,) output."""
+    cosang = jnp.sum(d_in3 * d_out3, axis=0)
+    return jnp.arccos(jnp.clip(cosang, -1.0 + 1e-6, 1.0 - 1e-6))

@@ -121,9 +121,10 @@ def trace_to_rx(
 ) -> TraceResult:
     """Trace N rays from tx_pos; return per-ray capture/amplitude/distance.
 
-    `env_hit(o, d, v0, e1, e2) -> (t, face)` selects the intersector backend
-    (default: brute-force Moller-Trumbore). `active` optionally masks out
-    padding rays (tile-alignment padding never contributes).
+    `env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm)` selects the
+    intersector backend (default: brute-force Moller-Trumbore). `active`
+    optionally masks out padding rays (tile-alignment padding never
+    contributes).
     """
     if env_hit is None:
         env_hit = make_env_intersector("brute")
@@ -150,7 +151,7 @@ def trace_to_rx(
 
     def step(c, _):
         t_rx = rx_query(c["pos"], c["dir"])
-        t_env, face = env_hit(c["pos"], c["dir"], v0, e1, e2)
+        t_env, face, nrm = env_hit(c["pos"], c["dir"], v0, e1, e2, normals)
         env_hit_mask = is_hit(t_env)
         # Receiver wins iff hit AND (env missed OR t_env > t_rx); with finite
         # miss sentinels this is just t_env > t_rx (miss compares as huge).
@@ -169,7 +170,6 @@ def trace_to_rx(
         new_pos = jnp.where(
             env_bounce[:, None], c["pos"] + c["dir"] * t_adv[:, None], jnp.float32(1e9)
         )
-        nrm = normals[jnp.clip(face, 0, None)]
         d_out = physics.reflect(c["dir"], nrm)
         fres = physics.fresnel_bounce_amplitude(physics.bend_angle(c["dir"], d_out), n1, n2)
         amp = jnp.where(env_bounce, c["amp"] * fres, c["amp"])
@@ -244,7 +244,7 @@ def trace_env(
     )
 
     def step(c, _):
-        t_env, face = env_hit(c["pos"], c["dir"], v0, e1, e2)
+        t_env, face, nrm = env_hit(c["pos"], c["dir"], v0, e1, e2, normals)
         env_hit_mask = is_hit(t_env)
         seg = dict(
             origin=c["pos"],
@@ -263,7 +263,6 @@ def trace_env(
         new_pos = jnp.where(
             env_bounce[:, None], c["pos"] + c["dir"] * t_adv[:, None], jnp.float32(1e9)
         )
-        nrm = normals[jnp.clip(face, 0, None)]
         d_out = physics.reflect(c["dir"], nrm)
         fres = physics.fresnel_bounce_amplitude(physics.bend_angle(c["dir"], d_out), n1, n2)
         c2 = dict(

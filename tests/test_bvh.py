@@ -22,10 +22,10 @@ def _random_rays(mesh, n, rng):
 
 
 def _assert_matches_brute(mesh, flat, n=2048, seed=0):
-    v0, e1, e2, _ = mesh_soa(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces))
+    v0, e1, e2, normals = mesh_soa(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces))
     o, d = _random_rays(mesh, n, np.random.default_rng(seed))
     tb, fb = ray_mesh_closest_hit_brute(o, d, v0, e1, e2)
-    ta, fa = make_bvh_env_hit(flat)(o, d, v0, e1, e2)
+    ta, fa, _nrm = make_bvh_env_hit(flat)(o, d, v0, e1, e2, normals)
     assert bool(jnp.all(is_hit(ta) == is_hit(tb)))
     hit = is_hit(tb)
     assert bool(jnp.allclose(jnp.where(hit, ta, 0), jnp.where(hit, tb, 0), rtol=1e-5, atol=1e-4))
