@@ -23,7 +23,7 @@ import numpy as np
 
 from rfx import cir as cir_mod
 from rfx import sampler
-from rfx.coverage import coverage_irs
+from rfx.coverage import coverage_dbm_fast, coverage_irs
 from rfx.geometry import TriangleMesh
 from rfx.ops.intersect import make_env_intersector
 from rfx.tracer import Scene, extract_paths, trace_to_rx
@@ -179,6 +179,33 @@ class Tracer:
             active=active,
         )
         return np.asarray(jax.block_until_ready(irs))
+
+    def compute_coverage_dbm_fast(self, tx_pos, tx_power, rx_centers, rx_radius, *,
+                                  carrier_hz: float = 2.4e9, directions=None,
+                                  rx_batch: int = 8):
+        """(M,) dBm per receiver via the phasor fast path (no per-RX impulse
+        response; see rfx.coverage.coverage_dbm_fast for speed/accuracy)."""
+        dirs, active = self._directions(directions)
+        dbm = coverage_dbm_fast(
+            self.scene,
+            jnp.asarray(tx_pos, jnp.float32),
+            dirs,
+            jnp.asarray(rx_centers, jnp.float32),
+            jnp.asarray(rx_radius, jnp.float32),
+            max_bounces=self.max_bounces,
+            num_rays=self.tx_num_rays,
+            sample_window_s=self.sample_window_s,
+            sample_rate_hz=self.sample_rate_hz,
+            carrier_hz=carrier_hz,
+            light_speed_mps=self.light_speed_mps,
+            tx_power=tx_power,
+            n1=self.n1,
+            n2=self.n2,
+            rx_batch=rx_batch,
+            env_hit=self.env_hit,
+            active=active,
+        )
+        return np.asarray(jax.block_until_ready(dbm))
 
     def rx_power_dbm(self, impulse_response, carrier_hz: float = 2.4e9):
         """Reference RX-power metric (ref main.py:46-55)."""

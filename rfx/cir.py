@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bin_impulse_response", "cir_from_trace", "rx_power_dbm", "to_dbm"]
+__all__ = ["bin_impulse_response", "cir_from_trace", "rx_power_dbm", "rx_power_dbm_phasor", "to_dbm"]
 
 
 def bin_impulse_response(
@@ -124,3 +124,53 @@ def rx_power_dbm(
     if squeeze:
         return dbm[0], out[0]
     return dbm, out
+
+
+def rx_power_dbm_phasor(
+    amplitude: jnp.ndarray,
+    distance: jnp.ndarray,
+    captured: jnp.ndarray,
+    *,
+    sample_window_s: float,
+    nbins: int,
+    light_speed_mps: float,
+    sample_rate_hz: float,
+    carrier_hz: float = 2.4e9,
+):
+    """RX power WITHOUT materializing the impulse response.
+
+    The reference metric convolves the sparse IR with a single-frequency
+    carrier sine and takes the mean square over nonzero samples
+    (ref main.py:46-55). A superposition of same-frequency sinusoids is one
+    sinusoid: signal[n] ~ Im(A e^{i w t_n}) with A = sum_k ir[k] e^{-i w t_k},
+    so mean(signal^2) ~ |A|^2 / 2 exactly, up to 'same'-mode edge truncation
+    (sub-0.2 dB when path delays sit well inside the window; validated
+    against the exact path in tests). This turns the coverage engine's
+    per-receiver scatter-add (the dominant cost: ~18 ms per 2M segments on
+    v5e, x2048 receivers) into a pure reduction.
+
+    Delay quantization matches the binned IR exactly: bin = int(d/c * rate),
+    t_k = bin * window/(nbins-1) (the exact metric's linspace grid).
+    Out-of-window paths are dropped like the binning path. Returns dBm
+    (-inf when nothing was captured).
+    """
+    delay_bins = (distance / light_speed_mps * sample_rate_hz).astype(jnp.int32)
+    valid = captured & (delay_bins >= 0) & (delay_bins < nbins)
+    amp = jnp.where(valid, amplitude, 0.0)
+    t_k = delay_bins.astype(jnp.float32) * (sample_window_s / (nbins - 1))
+    phase = 2.0 * jnp.pi * carrier_hz * t_k
+    # Truncation model: a spike at bin k only excites output samples
+    # [max(k-lo, 0), min(k+hi, nbins-1)] of the 'same' convolution — support
+    # s_k = min(k + hi + 1, nbins) for k < lo. Weight each phasor by
+    # sqrt(s_k) (min(s_i, s_j) ~ sqrt(s_i s_j) for clustered delays) and
+    # normalize by the union support, so the mean-over-nonzero-samples
+    # semantics of the exact metric carry over.
+    hi = nbins - 1 - (nbins - 1) // 2
+    s_k = jnp.where(valid, jnp.minimum(delay_bins + hi + 1, nbins).astype(jnp.float32), 0.0)
+    w_k = jnp.sqrt(s_k)
+    a_re = jnp.sum(amp * w_k * jnp.cos(phase))
+    a_im = jnp.sum(amp * w_k * jnp.sin(phase))
+    n_nz = jnp.maximum(jnp.max(s_k), 1.0)
+    power = 0.5 * (a_re * a_re + a_im * a_im) / n_nz
+    any_hit = jnp.any(valid)
+    return jnp.where(any_hit, to_dbm(jnp.maximum(power, 1e-300)), -jnp.inf)

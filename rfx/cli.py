@@ -130,9 +130,14 @@ def cmd_coverage(args) -> int:
     mesh, tracer = _make_tracer(cfg)
     grid = cfg.grid_points()
     t0 = time.perf_counter()
-    irs = tracer.compute_coverage(cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
-                                  rx_batch=cfg.rx_batch)
-    dbm = np.asarray(tracer.rx_power_dbm(irs, cfg.carrier_hz))
+    if args.metric == "fast":
+        dbm = np.asarray(tracer.compute_coverage_dbm_fast(
+            cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
+            carrier_hz=cfg.carrier_hz, rx_batch=cfg.rx_batch))
+    else:
+        irs = tracer.compute_coverage(cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
+                                      rx_batch=cfg.rx_batch)
+        dbm = np.asarray(tracer.rx_power_dbm(irs, cfg.carrier_hz))
     dt = time.perf_counter() - t0
     print(f"coverage: {grid.shape[0]} receivers from one {cfg.num_rays}-ray trace "
           f"in {dt:.2f}s")
@@ -176,6 +181,8 @@ def main(argv=None) -> int:
     p_cov = sub.add_parser("coverage", help="receiver-grid coverage sweep (ref coverage.py)")
     _add_common(p_cov, CoverageConfig())
     p_cov.add_argument("--save-dbm", type=str, default=None, help="write (x,y,z,dbm) .npy")
+    p_cov.add_argument("--metric", type=str, default="exact", choices=["exact", "fast"],
+                       help="'fast' = phasor dBm (no per-RX IR, ~100x; ~0.5 dB median error)")
     p_cov.set_defaults(fn=cmd_coverage)
 
     args = parser.parse_args(argv)

@@ -61,3 +61,46 @@ def test_coverage_rx_batch_invariance(box_room):
     a = coverage_irs(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), centers, 0.5, rx_batch=1, **kw)
     b = coverage_irs(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), centers, 0.5, rx_batch=8, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_coverage_dbm_fast_matches_exact_shape_and_values(box_room):
+    """Phasor fast path tracks the exact metric (documented tolerance: the
+    'same'-convolution truncation makes them differ most under destructive
+    interference; on a small room sweep the median gap stays well under 1 dB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import sample_sphere_directions
+    from rfx.cir import rx_power_dbm
+    from rfx.coverage import coverage_dbm_fast, coverage_irs, make_grid
+    from rfx.tracer import Scene
+
+    scene = Scene.from_mesh(box_room)
+    n = 4096
+    dirs = jnp.asarray(sample_sphere_directions(n, seed=77))
+    centers = jnp.asarray(make_grid(range(-12, 13, 8), [-4, 4], [2, 8]))[:12]
+    tx = jnp.asarray([3.0, 2.0, 2.0], jnp.float32)
+    window = 200e-9
+    rate = 10e9
+    nbins = int(window * rate)
+
+    irs = coverage_irs(
+        scene, tx, dirs, centers, jnp.float32(1.5),
+        max_bounces=2, nbins=nbins, num_rays=n,
+        light_speed_mps=2.998e8, sample_rate_hz=rate, rx_batch=4,
+    )
+    exact, _ = rx_power_dbm(irs, window, 2.4e9)
+    fast = coverage_dbm_fast(
+        scene, tx, dirs, centers, jnp.float32(1.5),
+        max_bounces=2, num_rays=n, sample_window_s=window,
+        sample_rate_hz=rate, carrier_hz=2.4e9, rx_batch=4,
+    )
+    exact = np.asarray(exact)
+    fast = np.asarray(fast)
+    # -inf (nothing received) must agree exactly
+    assert np.array_equal(np.isfinite(exact), np.isfinite(fast))
+    ok = np.isfinite(exact)
+    assert ok.sum() >= 6
+    diff = np.abs(fast[ok] - exact[ok])
+    assert np.median(diff) < 1.0, f"median {np.median(diff)} dB"
+    assert diff.max() < 6.0, f"max {diff.max()} dB"
