@@ -35,6 +35,11 @@ from rfx.tracer import Scene, trace_env, trace_to_rx
 
 __all__ = ["initialize_multihost", "make_mesh", "sharded_cir", "sharded_coverage_irs"]
 
+# Compiled shard_map callables, keyed by their static configuration. The jit
+# wrapper below must be REUSED across calls or every invocation re-traces
+# (jit caches by function identity, and the closure is fresh each time).
+_FN_CACHE: dict = {}
+
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host bring-up (no-op in single-process runs)."""
@@ -105,12 +110,18 @@ def sharded_cir(
         )
         return jax.lax.psum(ir_local, "rays")
 
-    fn = shard_map(
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # annotation, which the VMA checker rejects inside shard_map even though
+    # the per-device computation is correct (same workaround as rfx.solver).
+    # jit the mapped function: eager shard_map dispatch crashes the TPU
+    # worker behind the axon relay (and is slower everywhere).
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(P("rays"), P("rays"), P(), P(), P(), P()),
         out_specs=P(),
-    )
+        check_vma=False,
+    ))
     return fn(
         directions, active, jnp.asarray(tx_pos, jnp.float32),
         jnp.asarray(rx_pos, jnp.float32), scene.vertices, scene.faces,
@@ -148,28 +159,35 @@ def sharded_coverage_irs(
     if m % mesh.shape["rx"]:
         raise ValueError("receiver count not divisible over 'rx' axis")
 
-    def local(dirs_shard, centers_shard, tx, verts, faces):
-        segs = trace_env(
-            Scene(verts, faces), tx, dirs_shard,
-            max_bounces=max_bounces, n1=n1, n2=n2, env_hit=env_hit,
-        )
-        fn = partial(
-            _rx_ir_from_segments, segs, rx_radius=rx_radius, tx_power=tx_power,
-            num_rays=n, nbins=nbins, light_speed_mps=light_speed_mps,
-            sample_rate_hz=sample_rate_hz,
-        )
-        mc = centers_shard.shape[0]
-        pad = (-mc) % rx_batch
-        padded = jnp.concatenate([centers_shard, jnp.zeros((pad, 3), centers_shard.dtype)]) if pad else centers_shard
-        irs = jax.lax.map(jax.vmap(fn), padded.reshape(-1, rx_batch, 3)).reshape(-1, nbins)[:mc]
-        return jax.lax.psum(irs, "rays")
+    key = ("cov", mesh, max_bounces, nbins, float(tx_power), float(light_speed_mps),
+           float(sample_rate_hz), float(n1), float(n2), env_hit, float(rx_radius),
+           rx_batch, n, m)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        def local(dirs_shard, centers_shard, tx, verts, faces):
+            segs = trace_env(
+                Scene(verts, faces), tx, dirs_shard,
+                max_bounces=max_bounces, n1=n1, n2=n2, env_hit=env_hit,
+            )
+            rx_fn = partial(
+                _rx_ir_from_segments, segs, rx_radius=rx_radius, tx_power=tx_power,
+                num_rays=n, nbins=nbins, light_speed_mps=light_speed_mps,
+                sample_rate_hz=sample_rate_hz,
+            )
+            mc = centers_shard.shape[0]
+            pad = (-mc) % rx_batch
+            padded = jnp.concatenate([centers_shard, jnp.zeros((pad, 3), centers_shard.dtype)]) if pad else centers_shard
+            irs = jax.lax.map(jax.vmap(rx_fn), padded.reshape(-1, rx_batch, 3)).reshape(-1, nbins)[:mc]
+            return jax.lax.psum(irs, "rays")
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("rays"), P("rx"), P(), P(), P()),
-        out_specs=P("rx"),
-    )
+        fn = jax.jit(shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("rays"), P("rx"), P(), P(), P()),
+            out_specs=P("rx"),
+            check_vma=False,  # see sharded_cir
+        ))
+        _FN_CACHE[key] = fn
     return fn(
         directions, rx_centers, jnp.asarray(tx_pos, jnp.float32),
         scene.vertices, scene.faces,
