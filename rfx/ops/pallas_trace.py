@@ -545,8 +545,10 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
 class _PallasBVH:
     def __init__(self, flat: FlatBVH, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
                  node_test: str = "box"):
-        if 128 % flat.leaf_size or flat.leaf_size < 8:
-            raise ValueError("pallas backend needs leaf_size in {8,16,32,64,128}")
+        if 128 % flat.leaf_size or flat.leaf_size < 16:
+            # leaf < 16 would make group = 128/leaf exceed _K_SPEC, so a body
+            # could enqueue more leaves than its drain phase can retire.
+            raise ValueError("pallas backend needs leaf_size in {16,32,64,128}")
         if flat.n_padded_tris > 512 * 1024:
             raise NotImplementedError(
                 "pallas backend keeps triangles VMEM-resident; "
