@@ -22,9 +22,16 @@ Design (see /opt/skills/guides/pallas_guide.md):
   body so their tests are data-independent and pipeline; the cursor then
   advances through the precomputed hit bits with scalar selects. Preorder
   contiguity makes the speculation mostly useful (descent visits node+1).
-- **Scalar-register leaf agenda**: pending hit leaves accumulate in 16
-  scalar slots carried through the while state (selects only — no dynamic
-  SMEM stores, no per-leaf branch); one cond per body drains a full group.
+- **SMEM ring-buffer leaf agenda**: pending hit leaves are pushed to a
+  32-slot SMEM scratch ring with dynamic-index stores (supported by Mosaic;
+  only *lane*-dynamic VMEM loads are forbidden). head/tail scalars ride the
+  while carry. This replaced round 1's 16-slot scalar-register agenda whose
+  128 selects per body dominated the scalar-core critical path (measured:
+  ring agenda ~1.6x faster end-to-end on the terrain workload).
+- **Dead-tile early exit**: a tile whose rays are all parked (cone sentinel
+  cos > 1.5) starts its cursor at n_nodes — the while loop never runs. With
+  the bounce loop parking dead rays, late bounces cost ~0.3 us/dead tile
+  instead of ~2 us (measured: the all-dead 5120-tile floor fell 10.1 -> 1.6 ms).
 - **Batched leaf MT**: a drain concatenates `128/leaf` pending leaves into
   one (128, 16) candidate block and intersects all TILE_RAYS x 128 pairs on
   the VPU. Layout: triangles on sublanes as (128, 1) component columns
@@ -80,13 +87,12 @@ PALLAS_BLOCK = 128  # triangle-block sublane height (storage quantum)
 PALLAS_LEAF = 16  # default triangles per leaf (sub-block); divisor of 128
 _MISS = 1e30  # == intersect.MISS as a literal (no captured traced constants)
 _K_SPEC = 8  # speculative preorder run length
-_SLOTS = 16  # scalar-register pending-leaf slots: a body may push the
-# count to (group-1) + _K_SPEC <= 15 before its drain phase runs
+_AGENDA_CAP = 32  # SMEM ring slots; pending <= (group-1) + _K_SPEC < 32
 
 
 def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
-            t_ref, idx_ref, fc_ref, nx_ref, ny_ref, nz_ref, tcap_ref, *, sub, leaf,
-            node_test="box"):
+            t_ref, idx_ref, fc_ref, nx_ref, ny_ref, nz_ref, tcap_ref, agenda_ref,
+            *, sub, leaf, node_test="box"):
     """One ray tile vs the whole BVH.
 
     nodef: SMEM (8, n_nodes) f32 — rows 0-2 = bounding-sphere center,
@@ -302,15 +308,10 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= jnp.float32(T_MIN_EPS))
         return jnp.any(box_hit)
 
-    def shift(slots):
-        # FIFO shift the register agenda down by `group`.
-        return tuple(
-            slots[i + group] if i + group < _SLOTS else slots[i]
-            for i in range(_SLOTS)
-        )
+    cap_mask = jnp.int32(_AGENDA_CAP - 1)
 
     def body(state):
-        node, count, slots = state
+        node, head, tail = state
         if node_test == "box":
             t_best = t_ref[0]
             hits = [box_node_hit(node + k, t_best) for k in range(_K_SPEC)]
@@ -319,39 +320,38 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
             hits = [cone_node_hit(node + k, t_cap) for k in range(_K_SPEC)]
         metas = [(nodei_ref[0, node + k], nodei_ref[2, node + k]) for k in range(_K_SPEC)]
         cur = node
-        slots = list(slots)
         for k in range(_K_SPEC):
             base_k, skip_k = metas[k]
             valid = cur == node + k
             hit = valid & hits[k]
             is_leaf = base_k >= 0
             take = hit & is_leaf
-            # Place hit leaves in the scalar-register agenda. Pure scalar
-            # selects — no SMEM store, no branch (both ~0.4 us each on v5e).
-            for i in range(_SLOTS):
-                slots[i] = jnp.where(take & (count == i), base_k, slots[i])
-            count = count + take.astype(jnp.int32)
+            # Push hit leaves onto the SMEM ring (dynamic-index scalar store —
+            # replaces round 1's 16 selects per spec node, the scalar-core
+            # bottleneck).
+
+            @pl.when(take)
+            def _(b=base_k, t=tail):
+                agenda_ref[t & cap_mask] = b
+
+            tail = tail + take.astype(jnp.int32)
             # Leaf hit advances to skip_k too (a leaf's skip is its preorder
             # successor); internal hit descends to the next preorder node.
             nxt = jnp.where(hit & ~is_leaf, cur + 1, skip_k)
             cur = jnp.where(valid, nxt, cur)
-        slots = tuple(slots)
-        # Drain full groups — 8/group scalar-predicated passes per K-run body
-        # keep the slot count bounded below `group` at body end (group divides
-        # _K_SPEC). The pl.when body only touches refs, so the branch carries
-        # no vector state.
+        # Drain full groups — _K_SPEC/group scalar-predicated passes per body
+        # keep the pending count bounded below `group` at body end (group
+        # divides _K_SPEC). The pl.when body only touches refs, so the branch
+        # carries no vector state.
         for _ in range(_K_SPEC // group):
-            drained = count >= group
+            drained = tail - head >= group
 
             @pl.when(drained)
-            def _(bs=slots[:group]):
-                group_visit(list(bs))
+            def _(h=head):
+                group_visit([agenda_ref[(h + g) & cap_mask] for g in range(group)])
 
-            count = jnp.where(drained, count - group, count)
-            slots = tuple(
-                jnp.where(drained, s, slots[i]) for i, s in enumerate(shift(slots))
-            )
-        return cur, count, slots
+            head = head + jnp.where(drained, group, 0)
+        return cur, head, tail
 
     def cond(state):
         return state[0] < n_nodes
@@ -365,22 +365,25 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
     nz_ref[0] = jnp.zeros((sub, 128), jnp.float32)
     tcap_ref[0, 0] = jnp.float32(_MISS)
 
-    slots0 = tuple(jnp.int32(0) for _ in range(_SLOTS))
-    _, count, slots = lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), slots0)
+    # Dead tiles (cone sentinel) start past the last node: the traversal
+    # while-loop never runs and the tile costs only the output init.
+    node0 = jnp.where(dead_tile, jnp.int32(n_nodes), jnp.int32(0))
+    _, head, tail = lax.while_loop(
+        cond, body, (node0, jnp.int32(0), jnp.int32(0))
     )
 
-    # Drain the partial tail; slots at/above `count` duplicate slot 0 (valid
-    # whenever count > 0, and duplicates are harmless — see group_visit).
+    # Drain the partial tail; ring entries at/past `tail` duplicate the last
+    # valid entry (duplicates are harmless — see group_visit).
     def flush_body(state):
-        count, slots = state
+        head, tail = state
+        last = tail - 1
         bases = [
-            jnp.where(count > g, slots[g], slots[0]) for g in range(group)
+            agenda_ref[jnp.minimum(head + g, last) & cap_mask] for g in range(group)
         ]
         group_visit(bases)
-        return jnp.maximum(count - group, 0), shift(slots)
+        return jnp.minimum(head + group, tail), tail
 
-    lax.while_loop(lambda s: s[0] > 0, flush_body, (count, slots))
+    lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
 
     # Miss masking (t stays at the MISS sentinel; idx/fc already -1 there,
     # normals already 0 — nothing read them before a first hit fold).
@@ -533,7 +536,10 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
             plane(jnp.float32),
             plane(jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],  # traversal far plane
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
+            pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # trif copy + 6 out blocks pass 16 MB
         ),

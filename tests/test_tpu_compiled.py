@@ -1,0 +1,111 @@
+"""Opt-in compiled-mode Pallas parity on real TPU hardware (VERDICT.md #4).
+
+Skipped in CI (conftest forces CPU; compiled Mosaic kernels need a TPU).
+Run on the bench box with:
+
+    RFX_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -q -p no:cacheprovider
+
+bench.py invokes the same checks as its prologue, so every recorded TPU bench
+run re-verifies compiled-kernel correctness (exact match against the brute
+intersector, plus a full multi-bounce trace_to_rx parity run).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("RFX_TPU_TESTS", "") != "1",
+    reason="compiled-TPU parity is opt-in (set RFX_TPU_TESTS=1 on a TPU box)",
+)
+
+
+def _tpu_available():
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def run_compiled_parity_checks():
+    """Compiled Pallas kernel vs brute intersector; called by bench.py too."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfx.geometry import make_terrain
+    from rfx.ops.intersect import is_hit, mesh_soa, ray_mesh_closest_hit_brute
+    from rfx.ops.pallas_trace import make_pallas_env_hit
+    from rfx.tracer import Scene, trace_to_rx
+
+    mesh = make_terrain(grid=48, extent=40.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    v0, e1, e2, normals = mesh_soa(scene.vertices, scene.faces)
+    env_hit = make_pallas_env_hit(mesh)  # compiled (interpret=False)
+
+    # 1. single-query exact match, including the non-tile-aligned batch path
+    rng = np.random.default_rng(11)
+    for n in (4096, 777):
+        o = jnp.asarray(rng.uniform([-18, -18, 2], [18, 18, 20], (n, 3)), jnp.float32)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d, jnp.float32)
+        tp, fp, npn = env_hit(o, d, v0, e1, e2, normals)
+        tb, fb = ray_mesh_closest_hit_brute(o, d, v0, e1, e2)
+        hit = is_hit(tb)
+        assert bool(jnp.all(is_hit(tp) == hit)), f"hit-mask mismatch at n={n}"
+        assert bool(
+            jnp.allclose(jnp.where(hit, tp, 0), jnp.where(hit, tb, 0), rtol=1e-5, atol=1e-4)
+        ), f"t mismatch at n={n}"
+        assert bool(jnp.all(jnp.where(hit, fp, -1) == jnp.where(hit, fb, -1))), (
+            f"face mismatch at n={n}"
+        )
+        want = normals[jnp.clip(fb, 0, None)]
+        assert bool(
+            jnp.allclose(
+                jnp.where(hit[:, None], npn, 0), jnp.where(hit[:, None], want, 0), atol=1e-5
+            )
+        ), f"normal mismatch at n={n}"
+
+    # 2. full multi-bounce trace parity: pallas backend vs brute backend
+    from rfx import sampler
+
+    tx = jnp.asarray([3.0, -2.0, 14.0], jnp.float32)
+    rx = jnp.asarray([-6.0, 5.0, 6.0], jnp.float32)
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(5), 65536)
+
+    rp = jax.jit(
+        lambda: trace_to_rx(
+            scene, tx, dirs, rx, 1.5, max_bounces=4, rx_mode="analytic", env_hit=env_hit
+        )
+    )()
+    rb = jax.jit(
+        lambda: trace_to_rx(scene, tx, dirs, rx, 1.5, max_bounces=4, rx_mode="analytic")
+    )()
+    assert bool(jnp.all(rp.captured == rb.captured)), "multi-bounce capture mismatch"
+    cap = rb.captured
+    assert bool(
+        jnp.allclose(
+            jnp.where(cap, rp.amplitude, 0), jnp.where(cap, rb.amplitude, 0), rtol=2e-4, atol=1e-7
+        )
+    ), "multi-bounce amplitude mismatch"
+    assert bool(
+        jnp.allclose(
+            jnp.where(cap, rp.distance, 0), jnp.where(cap, rb.distance, 0), rtol=1e-4, atol=1e-3
+        )
+    ), "multi-bounce distance mismatch"
+    assert bool(jnp.all(rp.num_bounces == rb.num_bounces)), "bounce-count mismatch"
+    return int(cap.sum())
+
+
+@requires_tpu
+def test_compiled_pallas_matches_brute_on_tpu():
+    import jax
+
+    jax.config.update("jax_platforms", "")  # undo conftest's CPU pin
+    if not _tpu_available():
+        pytest.skip("no TPU device visible")
+    ncap = run_compiled_parity_checks()
+    assert ncap > 0, "parity workload captured nothing (degenerate test)"

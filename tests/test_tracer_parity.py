@@ -118,3 +118,20 @@ def test_padding_rays_do_not_contribute(box_room):
     assert int(r2.captured[1000:].sum()) == 0
     np.testing.assert_array_equal(np.asarray(r1.captured), np.asarray(r2.captured[:1000]))
     np.testing.assert_allclose(np.asarray(r1.amplitude), np.asarray(r2.amplitude[:1000]))
+
+
+def test_matmul_binning_matches_scatter():
+    """The MXU histogram (cir._bincount_matmul) must equal the scatter-add
+    path up to f32 summation order, in both hard and soft modes."""
+    from rfx.cir import bin_impulse_response
+
+    rng = np.random.default_rng(17)
+    n = 100_000
+    amp = jnp.asarray(rng.random(n), jnp.float32)
+    dist = jnp.asarray(rng.random(n) * 70.0, jnp.float32)
+    cap = jnp.asarray(rng.random(n) < 0.3)
+    kw = dict(nbins=20_000, light_speed_mps=2.998e8, sample_rate_hz=100e9)
+    for soft in (False, True):
+        a = bin_impulse_response(amp, dist, cap, soft=soft, method="scatter", **kw)
+        b = bin_impulse_response(amp, dist, cap, soft=soft, method="matmul", **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
