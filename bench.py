@@ -30,6 +30,7 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +42,19 @@ def main():
 
     # Enter the relay's synchronous mode before any timing (see module doc).
     _ = np.asarray(jnp.ones((8, 128)))
+
+    # Prologue: every recorded TPU bench run re-verifies compiled-kernel
+    # correctness (exact match vs brute + multi-bounce trace parity). Skippable
+    # for quick iteration with RFX_BENCH_SKIP_PARITY=1.
+    if os.environ.get("RFX_BENCH_SKIP_PARITY", "") != "1":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from test_tpu_compiled import run_compiled_parity_checks
+
+        ncap_parity = run_compiled_parity_checks()
+        assert ncap_parity > 0
+        print(f"# compiled-mode parity checks passed (captured {ncap_parity})", flush=True)
 
     n_rays = 5_242_880  # ~5M, multiple of the 1024-ray kernel tile
     max_bounces = 4
@@ -88,6 +102,20 @@ def main():
     s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
     assert float(s) > 0 and int(ncap) > 0, "benchmark trace captured nothing"
 
+    # Per-bounce alive fractions for the roofline model (one extra trace).
+    @jax.jit
+    def bounce_stats(vertices, faces, tx_pos, rx_pos, directions):
+        r = trace_to_rx(
+            Scene(vertices, faces), tx_pos, directions, rx_pos, 1.0,
+            max_bounces=max_bounces, rx_mode="analytic", env_hit=env_hit,
+        )
+        # alive entering bounce b = rays still bouncing after b env hits
+        return jnp.stack(
+            [jnp.mean((r.num_bounces >= b).astype(jnp.float32)) for b in range(max_bounces)]
+        )
+
+    alive_frac = np.asarray(bounce_stats(scene.vertices, scene.faces, tx, rx, dirs))
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -97,6 +125,25 @@ def main():
 
     best = min(times) / reps
     mrays = n_rays / best / 1e6
+
+    # --- Speed-of-light model (BASELINE.md "speed-of-light Mrays/s/chip") ---
+    # Two unavoidable costs per trace on one v5e chip:
+    #  1. VPU: every alive ray per bounce must at least be Moller-Trumbore
+    #     tested against one 128-candidate leaf drain (~45 f32 VPU ops per
+    #     ray-triangle pair) — the irreducible intersection work given the
+    #     kernel's 128-wide drain quantum. v5e VPU ~= 4 ALUs x (8x128) lanes
+    #     x 0.94 GHz ~= 3.85e12 f32 ops/s.
+    #  2. HBM: the bounce-loop carry (~13 f32 planes) is read+written once per
+    #     bounce; v5e HBM ~= 819 GB/s.
+    # Everything else (node tests, tile-union overdraw, speculation waste,
+    # drain duplication) is overhead the kernel design tries to minimize.
+    VPU_OPS = 3.85e12
+    HBM_BPS = 819e9
+    mt_ops_per_ray = 45.0 * 128.0
+    sum_alive = float(alive_frac.sum())
+    t_vpu = n_rays * sum_alive * mt_ops_per_ray / VPU_OPS
+    t_hbm = n_rays * max_bounces * 13 * 4 * 2 / HBM_BPS
+    roofline_mrays = n_rays / max(t_vpu, t_hbm) / 1e6
     print(
         json.dumps(
             {
@@ -104,6 +151,9 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "roofline_mrays": round(roofline_mrays, 1),
+                "pct_of_roofline": round(100.0 * mrays / roofline_mrays, 1),
+                "alive_frac_per_bounce": [round(float(a), 4) for a in alive_frac],
             }
         )
     )

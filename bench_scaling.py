@@ -50,7 +50,7 @@ def main():
         # bench.py and the axon quirks memory note).
         _ = np.asarray(jnp.ones((8, 128)))
 
-    rays_per_device = 1_048_576 if on_tpu else 8_192
+    rays_per_device = 1_048_576 if on_tpu else 16_384
     bounces = 4 if on_tpu else 2
     nbins = 20_000 if on_tpu else 2_000
 

@@ -157,12 +157,16 @@ class OracleTracer:
         if rx_mode not in ("icosphere", "analytic"):
             raise ValueError(rx_mode)
         self.rx_mode = rx_mode
-        if warp_quirk_compat:
-            raise NotImplementedError(
-                "the reference's per-iteration ray_finished reset (ref "
-                "kernel.py:58-59) is documented but not reproduced; intended "
-                "termination semantics only"
-            )
+        # warp_quirk_compat=True reproduces the reference KERNEL exactly,
+        # including its latent per-iteration `ray_finished` reset (ref
+        # kernel.py:58-59): termination never persists across bounce
+        # iterations, so a captured ray keeps being traced from the RX-sphere
+        # surface (typically re-capturing at the sphere's exit point, which
+        # appends the chord through the sphere to the recorded path), and an
+        # escaped ray keeps re-issuing the same missing queries. False (the
+        # default) implements the INTENDED persistent termination semantics —
+        # what the TPU tracer and every parity test use (SURVEY.md 2.2).
+        self.warp_quirk_compat = bool(warp_quirk_compat)
 
     # -- receiver intersection ------------------------------------------------
     def _rx_hit_t(self, pos: np.ndarray, d: np.ndarray, rx: "_MeshSoA | tuple") -> float:
@@ -208,21 +212,35 @@ class OracleTracer:
             pos = tx_pos.copy()
             d = d0 / np.linalg.norm(d0)
             verts = [pos.copy()]
-            for _ in range(self.max_bounces):
+            received = None
+            for bounce in range(self.max_bounces):
                 t_rx = self._rx_hit_t(pos, d, rx)
                 t_env, f_env = ray_triangles_closest_hit(pos, d, self.env.v0, self.env.e1, self.env.e2)
                 hit_rx = np.isfinite(t_rx) and (not np.isfinite(t_env) or t_env > t_rx)
                 if hit_rx:
-                    verts.append(pos + d * t_rx)
-                    paths.append(np.asarray(verts))
-                    break
-                if np.isfinite(t_env):
+                    pos = pos + d * t_rx
+                    verts.append(pos.copy())
+                    # ref kernel.py:86-92: copy the first bounce+2 traced
+                    # vertices into received_paths (in quirk mode a later,
+                    # longer capture overwrites this prefix).
+                    received = np.asarray(verts[: bounce + 2])
+                    if not self.warp_quirk_compat:
+                        break
+                    # quirk: ray_finished resets next iteration — keep tracing
+                    # from the RX-sphere surface with the same direction.
+                elif np.isfinite(t_env):
                     pos = pos + d * t_env
                     verts.append(pos.copy())
                     n = self.env.normals[f_env]
                     d = d - 2.0 * np.dot(d, n) * n
                 else:
-                    break
+                    if not self.warp_quirk_compat:
+                        break
+                    # quirk: an escaped ray re-issues the identical (missing)
+                    # queries every remaining iteration — no state changes, so
+                    # looping on is exactly the reference's wasted work.
+            if received is not None:
+                paths.append(received)
         return paths
 
     def path_amplitude_and_distance(self, path: np.ndarray, tx_power: float, n_rays: int) -> tuple[float, float]:

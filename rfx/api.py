@@ -48,10 +48,14 @@ class Tracer:
         *,
         n1: float = 5.0,
         n2: float = 1.0,
-        rx_mode: str = "icosphere",
+        rx_mode: str = "analytic",
         backend: str = "auto",
         seed: int = 0,
     ):
+        # rx_mode default matches TraceConfig ("analytic" = exact sphere —
+        # faster and exact; the coverage engine only supports it). Pass
+        # "icosphere" for the reference's 80-face tessellation when strict
+        # geometric parity with ref tracer.py:26-30 is required.
         self.mesh = environment
         self.scene = Scene.from_mesh(environment)
         self.light_speed_mps = float(light_speed_mps)

@@ -37,6 +37,9 @@ def _add_common(p: argparse.ArgumentParser, cfg):
     p.add_argument("--out", type=str, default="viz/scene.html")
     p.add_argument("--serve", action="store_true", help="serve the scene on :8000 (blocking)")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write a jax.profiler device trace (TensorBoard/xprof) "
+                        "and print per-phase wall-clock timings")
 
 
 def _merge(cfg, args, mapping):
@@ -89,13 +92,57 @@ def cmd_cir(args) -> int:
         cfg = dataclasses.replace(cfg, rx_pos=tuple(args.rx))
 
     mesh, tracer = _make_tracer(cfg)
+
+    import contextlib
+
+    from rfx.utils.profiling import PhaseTimer, device_trace
+
+    timer = PhaseTimer()
+    prof = device_trace(args.profile) if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    paths, ir = tracer.compute_cir(cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius)
+    with prof:
+        if args.chunks and args.chunks > 1:
+            # Chunked accumulation with resume (rfx.utils.checkpoint): each
+            # chunk traces num_rays/chunks fresh-PRNG rays; per-path amplitude
+            # normalizes by the GLOBAL ray count, so partial IRs sum exactly.
+            import jax as _jax
+
+            from rfx import sampler as _sampler
+            from rfx.utils.checkpoint import run_chunked
+
+            n_chunk = cfg.num_rays // args.chunks
+            paths_holder = {}
+
+            def compute_chunk(cid):
+                dirs = _sampler.sphere_directions(
+                    _jax.random.fold_in(_jax.random.PRNGKey(cfg.seed), cid), n_chunk
+                )
+                with timer.phase(f"chunk"):
+                    p, partial_ir = tracer.compute_cir(
+                        cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
+                        directions=dirs,
+                    )
+                paths_holder["paths"] = p
+                return {"ir": partial_ir}
+
+            resume_dir = args.resume_dir or (args.out + ".chunks")
+            acc = run_chunked(compute_chunk, args.chunks, resume_dir)
+            ir = acc["ir"]
+            paths = paths_holder.get("paths", [])
+        else:
+            with timer.phase("trace"):
+                paths, ir = tracer.compute_cir(
+                    cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius
+                )
     dt = time.perf_counter() - t0
-    dbm = tracer.rx_power_dbm(ir, cfg.carrier_hz)
+    with timer.phase("metric"):
+        dbm = tracer.rx_power_dbm(ir, cfg.carrier_hz)
     print(f"traced {cfg.num_rays} rays x {cfg.max_bounces} bounces in {dt:.3f}s "
           f"({cfg.num_rays / dt / 1e6:.1f} Mrays/s)")
     print(f"received paths: {len(paths)}  |  RX power: {float(dbm):.2f} dBm")
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
+        print(timer.report())
 
     if args.plot:
         import matplotlib
@@ -129,16 +176,25 @@ def cmd_coverage(args) -> int:
 
     mesh, tracer = _make_tracer(cfg)
     grid = cfg.grid_points()
+
+    import contextlib
+
+    from rfx.utils.profiling import device_trace
+
+    prof = device_trace(args.profile) if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    if args.metric == "fast":
-        dbm = np.asarray(tracer.compute_coverage_dbm_fast(
-            cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
-            carrier_hz=cfg.carrier_hz, rx_batch=cfg.rx_batch))
-    else:
-        irs = tracer.compute_coverage(cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
-                                      rx_batch=cfg.rx_batch)
-        dbm = np.asarray(tracer.rx_power_dbm(irs, cfg.carrier_hz))
+    with prof:
+        if args.metric == "fast":
+            dbm = np.asarray(tracer.compute_coverage_dbm_fast(
+                cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
+                carrier_hz=cfg.carrier_hz, rx_batch=cfg.rx_batch))
+        else:
+            irs = tracer.compute_coverage(cfg.tx_pos, cfg.tx_power, grid, cfg.rx_radius,
+                                          rx_batch=cfg.rx_batch)
+            dbm = np.asarray(tracer.rx_power_dbm(irs, cfg.carrier_hz))
     dt = time.perf_counter() - t0
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     print(f"coverage: {grid.shape[0]} receivers from one {cfg.num_rays}-ray trace "
           f"in {dt:.2f}s")
     finite = np.isfinite(dbm)
@@ -176,6 +232,11 @@ def main(argv=None) -> int:
     _add_common(p_cir, TraceConfig())
     p_cir.add_argument("--rx", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
     p_cir.add_argument("--plot", type=str, default=None, help="write IR plot PNG")
+    p_cir.add_argument("--chunks", type=int, default=1,
+                       help="split the trace into N idempotent chunks with "
+                            "checkpointed accumulation (resume after a kill)")
+    p_cir.add_argument("--resume-dir", type=str, default=None,
+                       help="chunk-state directory (default: <out>.chunks)")
     p_cir.set_defaults(fn=cmd_cir)
 
     p_cov = sub.add_parser("coverage", help="receiver-grid coverage sweep (ref coverage.py)")

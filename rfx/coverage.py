@@ -33,7 +33,7 @@ def make_grid(x_range, y_range, z_range) -> np.ndarray:
 
 
 def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, num_rays,
-                         nbins, light_speed_mps, sample_rate_hz):
+                         nbins, light_speed_mps, sample_rate_hz, soft=False):
     """IR for a single receiver from shared env segments. Shapes: (B, N)."""
     B, N = segs.t_env.shape
     o = segs.origin.reshape(B * N, 3)
@@ -55,12 +55,13 @@ def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, n
         nbins=nbins,
         light_speed_mps=light_speed_mps,
         sample_rate_hz=sample_rate_hz,
+        soft=soft,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_bounces", "nbins", "num_rays", "rx_batch", "env_hit"),
+    static_argnames=("max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft"),
 )
 def coverage_irs(
     scene: Scene,
@@ -80,11 +81,13 @@ def coverage_irs(
     rx_batch: int = 8,
     env_hit=None,
     active=None,
+    soft: bool = False,
 ):
     """(M, nbins) impulse responses for M receiver spheres from one trace.
 
     Receivers are processed in vmapped batches of `rx_batch` under lax.map to
-    bound the (B*N) per-receiver intermediates.
+    bound the (B*N) per-receiver intermediates. `soft=True` uses linear-interp
+    delay binning so d(IR)/d(distance) is nonzero (the inverse solver's mode).
     """
     segs = trace_env(
         scene, tx_pos, directions, max_bounces=max_bounces, n1=n1, n2=n2,
@@ -103,6 +106,7 @@ def coverage_irs(
         nbins=nbins,
         light_speed_mps=light_speed_mps,
         sample_rate_hz=sample_rate_hz,
+        soft=soft,
     )
     irs = jax.lax.map(jax.vmap(fn), centers.reshape(-1, rx_batch, 3))
     return irs.reshape(-1, nbins)[:m]

@@ -269,5 +269,6 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
             flat,
             interpret=kwargs.get("interpret", False),
             node_test=kwargs.get("node_test", "box"),
+            differentiable_tris=kwargs.get("differentiable_tris", False),
         )
     raise ValueError(f"unknown intersector backend: {backend}")

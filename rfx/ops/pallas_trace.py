@@ -82,7 +82,10 @@ __all__ = [
     "PALLAS_BLOCK",
 ]
 
-PALLAS_TILE_RAYS = 1024  # default rays per grid program (tunable via tile_rays=)
+PALLAS_TILE_RAYS = 2048  # default rays per grid program (tunable via tile_rays=);
+# sweep on the terrain workload (scripts/sweep_kernel.py): 2048 beats 1024 on
+# the coherent bounce (12.5 vs 14.5 ms) and halves the dead-tile floor for
+# late bounces; 512 loses badly, 4096 is flat.
 PALLAS_BLOCK = 128  # triangle-block sublane height (storage quantum)
 PALLAS_LEAF = 16  # default triangles per leaf (sub-block); divisor of 128
 _MISS = 1e30  # == intersect.MISS as a literal (no captured traced constants)
@@ -92,7 +95,7 @@ _AGENDA_CAP = 32  # SMEM ring slots; pending <= (group-1) + _K_SPEC < 32
 
 def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
             t_ref, idx_ref, fc_ref, nx_ref, ny_ref, nz_ref, tcap_ref, agenda_ref,
-            *, sub, leaf, node_test="box"):
+            *tri_scratch, sub, leaf, node_test="box", stream=False):
     """One ray tile vs the whole BVH.
 
     nodef: SMEM (8, n_nodes) f32 — rows 0-2 = bounding-sphere center,
@@ -112,6 +115,7 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
            fc (face id, -1 miss) i32; nx/ny/nz (unit normal, 0 on miss) f32
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     import jax.lax as lax
 
     n_nodes = nodef_ref.shape[1]
@@ -167,12 +171,23 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         tri_best = idx_ref[0]
         fc_best = fc_ref[0]
         nx_best, ny_best, nz_best = nx_ref[0], ny_ref[0], nz_ref[0]
-        tris = []
-        for b in bases:
-            blk = b // PALLAS_BLOCK
-            off = pl.multiple_of(b % PALLAS_BLOCK, leaf)
-            tris.append(trif_ref[blk, pl.ds(off, leaf), :])  # (leaf, 16)
-        tri = tris[0] if group == 1 else jnp.concatenate(tris, axis=0)  # (128, 16)
+        if stream:
+            # HBM-resident triangles (>512k-tri meshes): DMA the leaf's whole
+            # (128, 16) block into VMEM scratch per drain. Streaming forces
+            # leaf == PALLAS_BLOCK so a drain is exactly one aligned block.
+            tri_buf, dma_sem = tri_scratch
+            blk = bases[0] // PALLAS_BLOCK
+            cp = pltpu.make_async_copy(trif_ref.at[blk], tri_buf, dma_sem)
+            cp.start()
+            cp.wait()
+            tri = tri_buf[:]  # (128, 16)
+        else:
+            tris = []
+            for b in bases:
+                blk = b // PALLAS_BLOCK
+                off = pl.multiple_of(b % PALLAS_BLOCK, leaf)
+                tris.append(trif_ref[blk, pl.ds(off, leaf), :])  # (leaf, 16)
+            tri = tris[0] if group == 1 else jnp.concatenate(tris, axis=0)  # (128, 16)
         # Global padded-tri index of every candidate row.
         gbase = jnp.zeros((PALLAS_BLOCK, 1), jnp.int32)
         for g, b in enumerate(bases):
@@ -478,8 +493,8 @@ def tile_cones(oT, dT):
     return cone
 
 
-@partial(jax.jit, static_argnames=("interpret", "sub", "leaf", "node_test"))
-def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, leaf=PALLAS_LEAF, node_test="box"):
+@partial(jax.jit, static_argnames=("interpret", "sub", "leaf", "node_test", "stream"))
+def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, leaf=PALLAS_LEAF, node_test="box", stream=False):
     """Tiled rays (3, tiles, sub, 128) -> per-ray planes (tiles, sub, 128):
     (t, padded_tri_idx, face, nx, ny, nz)."""
     from jax.experimental import pallas as pl
@@ -505,6 +520,7 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
                 nodef, nodei, trif,
                 oT[:, i * per : (i + 1) * per], dT[:, i * per : (i + 1) * per],
                 interpret=interpret, sub=sub, leaf=leaf, node_test=node_test,
+                stream=stream,
             )
             for i in range(n_chunks)
         ]
@@ -516,14 +532,28 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
     tiles = oT.shape[1]
     plane = lambda dt: jax.ShapeDtypeStruct((tiles, sub, 128), dt)
     spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
+        pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
+    ]
+    if stream:
+        # Triangle blocks stay in HBM; drains DMA one (128, 16) block into
+        # this VMEM buffer (leaf == 128 enforced by _PallasBVH).
+        scratch += [
+            pltpu.VMEM((PALLAS_BLOCK, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        trif_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_kernel, sub=sub, leaf=leaf, node_test=node_test),
+        partial(_kernel, sub=sub, leaf=leaf, node_test=node_test, stream=stream),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            trif_spec,
             pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -536,10 +566,7 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
             plane(jnp.float32),
             plane(jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
-            pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,  # trif copy + 6 out blocks pass 16 MB
         ),
@@ -548,18 +575,27 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
     return outs
 
 
+STREAM_TRI_THRESHOLD = 512 * 1024  # beyond this, triangles stay in HBM
+
+
 class _PallasBVH:
     def __init__(self, flat: FlatBVH, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
-                 node_test: str = "box"):
+                 node_test: str = "box", force_stream: bool = False):
         if 128 % flat.leaf_size or flat.leaf_size < 16:
             # leaf < 16 would make group = 128/leaf exceed _K_SPEC, so a body
             # could enqueue more leaves than its drain phase can retire.
             raise ValueError("pallas backend needs leaf_size in {16,32,64,128}")
-        if flat.n_padded_tris > 512 * 1024:
-            raise NotImplementedError(
-                "pallas backend keeps triangles VMEM-resident; "
-                f"{flat.n_padded_tris} padded tris exceed the 512k guard "
-                "(HBM streaming not yet implemented)"
+        # Large meshes (ref main.py:21's apollo_17 is a big terrain scan)
+        # don't fit VMEM: keep triangle blocks in HBM and DMA one (128, 16)
+        # block per leaf drain. leaf == PALLAS_BLOCK makes each drain exactly
+        # one aligned block, so the node table also shrinks 8x and stays
+        # within the SMEM budget up to multi-million-triangle meshes.
+        self.stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
+        if self.stream and flat.leaf_size != PALLAS_BLOCK:
+            raise ValueError(
+                f"streaming (>{STREAM_TRI_THRESHOLD} padded tris) requires "
+                f"leaf_size={PALLAS_BLOCK}; build the BVH with "
+                f"build_bvh(mesh, leaf_size={PALLAS_BLOCK})"
             )
         if tile_rays % 128:
             raise ValueError("tile_rays must be a multiple of 128")
@@ -574,19 +610,52 @@ class _PallasBVH:
         self.leaf = flat.leaf_size
         self.node_test = node_test
 
+    def live_trif(self, v0, e1, e2):
+        """Repack the kernel triangle blocks from live (original-order)
+        vertex-derived arrays. Static leaf permutation — a pure gather, so the
+        forward tracks vertex motion (hit selection still culls with the
+        host-built node AABBs; rebuild the BVH when vertices move materially).
+        """
+        flat = self.flat
+        p = flat.n_padded_tris
+        idx = jnp.asarray(np.maximum(flat.tri_face, 0))
+        padm = jnp.asarray((flat.tri_face < 0))[:, None]
+        zero3 = jnp.float32(0.0)
+        lv0 = jnp.where(padm, zero3, v0[idx])
+        le1 = jnp.where(padm, zero3, e1[idx])
+        le2 = jnp.where(padm, zero3, e2[idx])
+        n = jnp.cross(le1, le2)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+        face = jnp.asarray(flat.tri_face, jnp.float32)
+        pad = (-p) % PALLAS_BLOCK
+        if pad:
+            z = jnp.zeros((pad, 3), jnp.float32)
+            lv0 = jnp.concatenate([lv0, z])
+            le1 = jnp.concatenate([le1, z])
+            le2 = jnp.concatenate([le2, z])
+            n = jnp.concatenate([n, z])
+            face = jnp.concatenate([face, jnp.full((pad,), -1.0, jnp.float32)])
+        blocks = (p + pad) // PALLAS_BLOCK
+        cols = jnp.concatenate(
+            [lv0, le1, le2, n, face[:, None], jnp.zeros((p + pad, 3), jnp.float32)],
+            axis=1,
+        )  # (P', 16)
+        return cols.reshape(blocks, PALLAS_BLOCK, 16)
 
-def pallas_hit_planes(pb: _PallasBVH, oT, dT):
+
+def pallas_hit_planes(pb: _PallasBVH, oT, dT, trif=None):
     """SoA entry: rays as (3, tiles, sub, 128) component planes (the tracer's
     native layout — no AoS transposes). Returns (t, idx, face, nx, ny, nz)
-    planes of shape (tiles, sub, 128)."""
+    planes of shape (tiles, sub, 128). `trif` overrides the baked triangle
+    blocks (live vertex-derived repack for differentiable-tris mode)."""
     return _pallas_hit_tiled(
-        pb.nodef, pb.nodei, pb.trif, oT, dT,
+        pb.nodef, pb.nodei, pb.trif if trif is None else trif, oT, dT,
         interpret=pb.interpret, sub=oT.shape[2], leaf=pb.leaf,
-        node_test=pb.node_test,
+        node_test=pb.node_test, stream=pb.stream,
     )
 
 
-def pallas_closest_hit(pb: _PallasBVH, o, d):
+def pallas_closest_hit(pb: _PallasBVH, o, d, trif=None):
     """AoS entry: (N, 3) rays -> (t, face, padded_tri_idx, nrm (N, 3)). Pads
     the ray batch to the tile quantum with dead rays. Face ids and normals
     come from the in-kernel fold — no N-sized gather."""
@@ -602,22 +671,31 @@ def pallas_closest_hit(pb: _PallasBVH, o, d):
     tiles = m // pb.tile_rays
     oT = o.T.reshape(3, tiles, sub, 128)
     dT = d.T.reshape(3, tiles, sub, 128)
-    t, idx, face, nx, ny, nz = pallas_hit_planes(pb, oT, dT)
+    t, idx, face, nx, ny, nz = pallas_hit_planes(pb, oT, dT, trif)
     nrm = jnp.stack([nx.reshape(m), ny.reshape(m), nz.reshape(m)], axis=1)[:n]
     return t.reshape(m)[:n], face.reshape(m)[:n], idx.reshape(m)[:n], nrm
 
 
 def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
-                        node_test: str = "box"):
+                        node_test: str = "box", differentiable_tris: bool = False,
+                        force_stream: bool = False):
     """env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm) with Pallas
     forward + custom VJP (straight-through selection; closed-form t backward
-    on the selected face, cotangents to the ray arrays — the BVH triangle
-    copy is constant, matching rfx.ops.bvh_traverse's non-differentiable-tris
-    mode; the normal is piecewise constant in (o, d), so its cotangent is
-    discarded).
+    on the selected face, cotangents to the ray arrays).
 
     The normal comes from the in-kernel fold, NOT from `normals` (which is
     ignored) — no N-sized gather on the bounce loop's critical path.
+
+    differentiable_tris=True additionally emits triangle cotangents to the
+    (v0, e1, e2) arguments in original face order (the kernel reports original
+    face ids): the backward re-evaluates, for each selected face, both the
+    closed-form t AND the unit geometric normal nrm = unit(cross(e1, e2)) —
+    the normal drives the specular reflection, so vertex gradients through the
+    bounce direction flow too — and scatter-adds their VJPs at the face index.
+    Hit selection (BVH walk) still uses the host-built triangle copy: if
+    vertices move materially, rebuild the BVH (same caveat as
+    rfx.ops.bvh_traverse, which this matches; BASELINE.md "vertex positions"
+    gradient target, ref tracer.py:22-24 geometry-as-data).
 
     Accepts a FlatBVH built with leaf_size=PALLAS_LEAF, or a TriangleMesh
     (builds one).
@@ -625,35 +703,91 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
     if isinstance(flat_or_mesh, FlatBVH):
         flat = flat_or_mesh
     else:
-        flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_LEAF)
-    pb = _PallasBVH(flat, interpret=interpret, tile_rays=tile_rays, node_test=node_test)
+        # Big meshes build straight into the streaming layout (fat leaves =
+        # one HBM block per drain); small ones use the VMEM-resident layout.
+        # The 0.75 factor leaves headroom for leaf padding; the exact padded
+        # count is re-checked after the build for the boundary sliver.
+        big = flat_or_mesh.num_faces > 0.75 * STREAM_TRI_THRESHOLD
+        flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK if big else PALLAS_LEAF)
+        if not big and flat.n_padded_tris > STREAM_TRI_THRESHOLD:
+            flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK)
+    pb = _PallasBVH(flat, interpret=interpret, tile_rays=tile_rays, node_test=node_test,
+                    force_stream=force_stream)
+
+    if not differentiable_tris:
+        @jax.custom_vjp
+        def env_hit_op(o, d):
+            t, face, _, nrm = pallas_closest_hit(pb, o, d)
+            return t, face, nrm
+
+        def fwd(o, d):
+            t, face, idx, nrm = pallas_closest_hit(pb, o, d)
+            return (t, face, nrm), (o, d, idx, t)
+
+        def bwd(res, cotangents):
+            o, d, idx, t = res
+            g_t, _, _ = cotangents  # face is int; normal is piecewise const in (o, d)
+            sel = jnp.maximum(idx, 0)
+            hit = (idx >= 0) & is_hit(t)
+            g = jnp.where(hit, g_t, 0.0)
+
+            def t_of(o_, d_):
+                return closed_form_t(o_, d_, pb.tri_v0[sel], pb.tri_e1[sel], pb.tri_e2[sel])
+
+            _, vjp = jax.vjp(t_of, o, d)
+            go, gd = vjp(g)
+            return go, gd
+
+        env_hit_op.defvjp(fwd, bwd)
+
+        def env_hit(o, d, v0, e1, e2, normals):
+            return env_hit_op(o, d)
+
+        return env_hit
 
     @jax.custom_vjp
-    def env_hit_op(o, d):
-        t, face, _, nrm = pallas_closest_hit(pb, o, d)
+    def env_hit_diff(o, d, v0, e1, e2):
+        t, face, _, nrm = pallas_closest_hit(pb, o, d, pb.live_trif(v0, e1, e2))
         return t, face, nrm
 
-    def fwd(o, d):
-        t, face, idx, nrm = pallas_closest_hit(pb, o, d)
-        return (t, face, nrm), (o, d, idx, t)
+    def fwd_diff(o, d, v0, e1, e2):
+        t, face, idx, nrm = pallas_closest_hit(pb, o, d, pb.live_trif(v0, e1, e2))
+        # Residuals keep the ORIGINAL-order triangle args (not the BVH copy)
+        # so cotangents land on the caller's differentiable arrays.
+        return (t, face, nrm), (o, d, v0, e1, e2, face, t)
 
-    def bwd(res, cotangents):
-        o, d, idx, t = res
-        g_t, _, _ = cotangents  # face is int; normal is piecewise constant
-        sel = jnp.maximum(idx, 0)
-        hit = (idx >= 0) & is_hit(t)
+    def bwd_diff(res, cotangents):
+        o, d, v0, e1, e2, face, t = res
+        g_t, _, g_nrm = cotangents
+        sel = jnp.maximum(face, 0)  # face = original mesh face id
+        hit = (face >= 0) & is_hit(t)
         g = jnp.where(hit, g_t, 0.0)
+        gn = jnp.where(hit[:, None], g_nrm, 0.0)
 
-        def t_of(o_, d_):
-            return closed_form_t(o_, d_, pb.tri_v0[sel], pb.tri_e1[sel], pb.tri_e2[sel])
+        fv0, fe1, fe2 = v0[sel], e1[sel], e2[sel]
 
-        _, vjp = jax.vjp(t_of, o, d)
-        go, gd = vjp(g)
-        return go, gd
+        def t_of(o_, d_, a, b, c):
+            return closed_form_t(o_, d_, a, b, c)
 
-    env_hit_op.defvjp(fwd, bwd)
+        _, vjp_t = jax.vjp(t_of, o, d, fv0, fe1, fe2)
+        go, gd, gv0, ge1, ge2 = vjp_t(g)
+
+        def nrm_of(b, c):
+            n = jnp.cross(b, c)
+            return n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+
+        _, vjp_n = jax.vjp(nrm_of, fe1, fe2)
+        ge1n, ge2n = vjp_n(gn)
+
+        mask = jnp.where(hit[:, None], 1.0, 0.0)
+        gv0_full = jnp.zeros_like(v0).at[sel].add(gv0 * mask)
+        ge1_full = jnp.zeros_like(e1).at[sel].add((ge1 + ge1n) * mask)
+        ge2_full = jnp.zeros_like(e2).at[sel].add((ge2 + ge2n) * mask)
+        return go, gd, gv0_full, ge1_full, ge2_full
+
+    env_hit_diff.defvjp(fwd_diff, bwd_diff)
 
     def env_hit(o, d, v0, e1, e2, normals):
-        return env_hit_op(o, d)
+        return env_hit_diff(o, d, v0, e1, e2)
 
     return env_hit

@@ -20,9 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rfx.cir import bin_impulse_response
-from rfx.ops.intersect import is_hit, ray_sphere_hit
-from rfx.tracer import Scene, trace_env
+from rfx.coverage import coverage_irs
+from rfx.tracer import Scene
 
 __all__ = ["InverseParams", "coverage_irs_soft", "make_inverse_solver"]
 
@@ -30,6 +29,7 @@ __all__ = ["InverseParams", "coverage_irs_soft", "make_inverse_solver"]
 class InverseParams(NamedTuple):
     tx_pos: jnp.ndarray  # (3,)
     log_n1: jnp.ndarray  # scalar; n1 = exp(log_n1) keeps the index positive
+    vertices: jnp.ndarray | None = None  # (V, 3) optional geometry leaf
 
 
 def coverage_irs_soft(
@@ -51,28 +51,16 @@ def coverage_irs_soft(
 ):
     """(M, nbins) soft-binned impulse responses, normalised by the *global*
     ray count (`num_rays` may exceed directions.shape[0] under sharding, where
-    each shard produces a partial IR that sums across shards)."""
-    segs = trace_env(
-        Scene(vertices, faces), tx_pos, directions,
-        max_bounces=max_bounces, n1=n1, n2=n2, env_hit=env_hit,
+    each shard produces a partial IR that sums across shards).
+
+    Thin wrapper over the coverage engine's soft mode (rfx.coverage) — the
+    engine is the single implementation of the segments->IR reduction."""
+    return coverage_irs(
+        Scene(vertices, faces), tx_pos, directions, rx_centers, rx_radius,
+        max_bounces=max_bounces, nbins=nbins, num_rays=num_rays,
+        light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz,
+        n1=n1, n2=n2, env_hit=env_hit, soft=True,
     )
-    B, N = segs.t_env.shape
-    o = segs.origin.reshape(B * N, 3)
-    d = segs.direction.reshape(B * N, 3)
-
-    def one_rx(center):
-        t_rx = ray_sphere_hit(o, d, center, rx_radius).reshape(B, N)
-        win = segs.alive & is_hit(t_rx) & (segs.t_env > t_rx)
-        seen = jnp.cumsum(win.astype(jnp.int32), axis=0) - win.astype(jnp.int32)
-        first = win & (seen == 0)
-        amp = jnp.where(first, segs.amplitude, 0.0).reshape(-1) / num_rays
-        dist = jnp.where(first, segs.distance + jnp.where(first, t_rx, 0.0), 0.0).reshape(-1)
-        return bin_impulse_response(
-            amp, dist, first.reshape(-1), nbins=nbins,
-            light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz, soft=True,
-        )
-
-    return jax.vmap(one_rx)(rx_centers)
 
 
 def make_inverse_solver(
@@ -103,8 +91,9 @@ def make_inverse_solver(
     num_rx = int(rx_centers.shape[0])
 
     def irs_fn(params: InverseParams, dirs, centers):
+        verts = scene.vertices if params.vertices is None else params.vertices
         return coverage_irs_soft(
-            scene.vertices, scene.faces, params.tx_pos, jnp.exp(params.log_n1),
+            verts, scene.faces, params.tx_pos, jnp.exp(params.log_n1),
             dirs, centers, rx_radius,
             num_rays=num_rays, max_bounces=max_bounces, nbins=nbins,
             light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz,
@@ -149,10 +138,15 @@ def make_inverse_solver(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def init_fn(tx0, n1_0=5.0):
+    def init_fn(tx0, n1_0=5.0, vertices0=None):
+        """vertices0: optional (V, 3) starting geometry — adds the scene
+        vertices as an optimizable leaf (BASELINE.md vertex-gradient target).
+        Use the brute backend (env_hit=None on small scenes) or a
+        differentiable-tris BVH/Pallas backend so geometry gradients flow."""
         params = InverseParams(
             tx_pos=jnp.asarray(tx0, jnp.float32),
             log_n1=jnp.log(jnp.asarray(n1_0, jnp.float32)),
+            vertices=None if vertices0 is None else jnp.asarray(vertices0, jnp.float32),
         )
         return params, opt.init(params)
 

@@ -15,7 +15,9 @@ def test_compute_cir_matches_oracle(box_room):
     dirs = sample_sphere_directions(3000, seed=6)
     tx = np.array([10.0, 0.0, 5.0])
     rx = np.array([-10.0, 0.0, 5.0])
-    t = Tracer(box_room, C, RATE, WINDOW, max_bounces=3, tx_num_rays=3000)
+    # explicit icosphere: the oracle defaults to the reference's tessellated
+    # receiver, and this test pins exact geometric parity with it
+    t = Tracer(box_room, C, RATE, WINDOW, max_bounces=3, tx_num_rays=3000, rx_mode="icosphere")
     paths, ir = t.compute_cir(tx, 1.0, rx, 1.0, directions=dirs)
     o = OracleTracer(box_room, C, RATE, WINDOW, 3)
     o_paths, o_ir = o.compute_cir(tx, 1.0, rx, 1.0, dirs)

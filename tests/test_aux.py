@@ -94,3 +94,79 @@ def test_cli_cir_smoke(tmp_path, capsys):
     assert os.path.exists(out)
     text = capsys.readouterr().out
     assert "RX power" in text
+
+
+def test_phase_timer_and_throughput():
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from rfx.utils.profiling import PhaseTimer, Throughput
+
+    t = PhaseTimer()
+    x = jnp.ones((16,))
+    with t.phase("a", block_on=x * 2):
+        _time.sleep(0.01)
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert t.totals["a"] >= 0.01
+    rep = t.report()
+    assert "a:" in rep and "x2" in rep
+
+    tp = Throughput()
+    with tp.measure(1000) as holder:
+        holder["result"] = x + 1
+    assert tp.rays == 1000
+    assert tp.seconds > 0 and tp.mrays_per_s > 0
+
+
+def test_cli_cir_chunked_resume(tmp_path, capsys):
+    """--chunks N accumulates partial IRs with checkpointed resume: a second
+    run re-reads the chunk state and recomputes nothing."""
+    import json as _json
+
+    from rfx.cli import main
+
+    out = str(tmp_path / "scene.html")
+    resume = str(tmp_path / "chunks")
+    argv = [
+        "cir", "--scene", "room", "--rays", "2048", "--bounces", "2",
+        "--tx", "5", "5", "2", "--rx", "-5", "-5", "2", "--rx-radius", "1.5",
+        "--out", out, "--chunks", "2", "--resume-dir", resume,
+    ]
+    rc = main(argv)
+    assert rc == 0
+    meta = _json.load(open(os.path.join(resume, "meta.json")))
+    assert meta["done"] == [0, 1]
+    first = capsys.readouterr().out
+    assert "RX power" in first
+
+    # resume: both chunks already done -> same dBm, no recompute
+    rc = main(argv)
+    assert rc == 0
+    second = capsys.readouterr().out
+    # paths differ (resume recomputes nothing, so none are recorded); the
+    # accumulated IR — and hence the dBm — must be identical.
+    dbm1 = [l.split("RX power:")[1] for l in first.splitlines() if "RX power" in l]
+    dbm2 = [l.split("RX power:")[1] for l in second.splitlines() if "RX power" in l]
+    assert dbm1 == dbm2
+
+
+def test_cli_cir_profile_report(tmp_path, capsys):
+    from rfx.cli import main
+
+    out = str(tmp_path / "scene.html")
+    prof = str(tmp_path / "prof")
+    rc = main([
+        "cir", "--scene", "room", "--rays", "1024", "--bounces", "1",
+        "--tx", "5", "5", "2", "--rx", "-5", "-5", "2", "--rx-radius", "1.5",
+        "--out", out, "--profile", prof,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "profiler trace written" in text
+    assert "trace:" in text  # PhaseTimer report
+    assert os.path.isdir(prof) and os.listdir(prof)

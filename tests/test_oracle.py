@@ -127,3 +127,46 @@ def test_delay_binning_truncates(box_room):
     expected_bin = int((dist / 2.998e8) * 100e9)
     assert ir[expected_bin] == pytest.approx(amp)
     assert np.count_nonzero(ir) == 1
+
+
+def test_warp_quirk_compat_extends_captured_paths(box_room):
+    """warp_quirk_compat=True reproduces the reference kernel's latent
+    per-iteration `ray_finished` reset (ref kernel.py:58-59): a captured ray
+    keeps tracing from the RX-sphere surface and typically re-captures at the
+    sphere's exit, appending the chord through the sphere to its recorded
+    path. Default mode terminates at the first capture (intended semantics).
+    """
+    tx = np.array([0.0, 0.0, 5.0])
+    rxp = np.array([6.0, 0.0, 5.0])
+    # one ray aimed straight at the receiver, LOS inside the box room
+    dirs = np.array([[1.0, 0.0, 0.0]], np.float32)
+
+    plain = OracleTracer(box_room, max_bounces=4, rx_mode="analytic")
+    quirk = OracleTracer(box_room, max_bounces=4, rx_mode="analytic",
+                         warp_quirk_compat=True)
+    p0 = plain.trace_paths(tx, rxp, 1.0, dirs)
+    p1 = quirk.trace_paths(tx, rxp, 1.0, dirs)
+    assert len(p0) == 1 and len(p1) == 1
+    # intended semantics: TX -> sphere entry (2 vertices)
+    assert p0[0].shape == (2, 3)
+    np.testing.assert_allclose(p0[0][1], [5.0, 0.0, 5.0], atol=1e-6)
+    # quirk semantics: the ray re-captures at the sphere exit -> longer path
+    # whose prefix is the intended path
+    assert p1[0].shape[0] > 2
+    np.testing.assert_allclose(p1[0][:2], p0[0], atol=1e-6)
+    np.testing.assert_allclose(p1[0][2], [7.0, 0.0, 5.0], atol=1e-6)
+
+
+def test_warp_quirk_compat_agrees_when_no_recapture(box_room):
+    """For rays that never revisit the receiver, both modes agree."""
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(128, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = dirs.astype(np.float32)
+    tx = np.array([4.0, 4.0, 4.0])
+    rxp = np.array([-40.0, -40.0, 40.0])  # receiver far outside the room: no captures
+    plain = OracleTracer(box_room, max_bounces=3, rx_mode="analytic")
+    quirk = OracleTracer(box_room, max_bounces=3, rx_mode="analytic",
+                         warp_quirk_compat=True)
+    assert len(plain.trace_paths(tx, rxp, 1.0, dirs)) == 0
+    assert len(quirk.trace_paths(tx, rxp, 1.0, dirs)) == 0
