@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rfx.bvh import LEAF_SIZE, FlatBVH
-from rfx.ops.intersect import MISS, T_MIN_EPS, is_hit
+from rfx.ops.intersect import MISS, T_MIN_EPS, hit_normal_from_edges, is_hit
 
 __all__ = ["DeviceBVH", "device_bvh", "bvh_closest_hit"]
 
@@ -238,7 +238,10 @@ def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
                 tri_e2=jnp.where(padj, zero, le2),
             )
             t, face = bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
-            return t, face, normals[jnp.clip(face, 0, None)]
+            # hit_normal_from_edges, NOT normals[face]: a precomputed traced
+            # normal table gathered inside the scan is miscompiled by XLA-TPU
+            # (see rfx.ops.intersect.hit_normal_from_edges).
+            return t, face, hit_normal_from_edges(e1, e2, face)
 
         return env_hit
 
@@ -246,6 +249,6 @@ def make_bvh_env_hit(flat: FlatBVH, differentiable_tris: bool = False):
 
     def env_hit(o, d, v0, e1, e2, normals):
         t, face = bvh_closest_hit(o, d, bvh, T_MIN_EPS, flat.leaf_size)
-        return t, face, normals[jnp.clip(face, 0, None)]
+        return t, face, hit_normal_from_edges(e1, e2, face)
 
     return env_hit

@@ -39,6 +39,26 @@ def is_hit(t):
     return t < MISS_THRESHOLD
 
 
+def hit_normal_from_edges(e1, e2, face):
+    """Unit geometric normal of each ray's hit face, derived per-ray from the
+    gathered edge vectors: unit(cross(e1[f], e2[f])).
+
+    Deliberately NOT `normals[face]` on a precomputed normal table: when the
+    normal table is itself a traced value (vertices differentiable, so
+    mesh_soa runs inside jit), XLA-TPU MISCOMPILES the gather-of-computed-
+    normals inside a scan body — the flagship trace then reports ~20x the
+    true capture count (measured: 788 vs the correct 40 captures on the
+    grid-48 terrain; CPU and interpret mode are clean, and
+    lax.optimization_barrier does NOT prevent it). Deriving the normal from
+    the gathered edges compiles correctly, costs one cross + rsqrt per ray,
+    and keeps vertex gradients flowing through the same algebra the Pallas
+    backward uses.
+    """
+    f = jnp.clip(face, 0, None)
+    n = jnp.cross(e1[f], e2[f])
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+
+
 def mesh_soa(vertices: jnp.ndarray, faces: jnp.ndarray):
     """Derive triangle SoA (v0, e1, e2, unit normals) from indexed mesh.
 
@@ -245,8 +265,7 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
             chunk = ray_chunk if o.shape[0] % ray_chunk == 0 else 0
             # positional: custom_vjp functions reject keyword arguments
             t, face = ray_mesh_closest_hit_brute(o, d, v0, e1, e2, T_MIN_EPS, T_MAX, chunk)
-            nrm = normals[jnp.clip(face, 0, None)]
-            return t, face, nrm
+            return t, face, hit_normal_from_edges(e1, e2, face)
 
         return env_hit
     if backend in ("bvh", "pallas"):
