@@ -284,10 +284,11 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
         from rfx.ops.pallas_trace import PALLAS_LEAF, make_pallas_env_hit
 
         flat = kwargs.get("flat_bvh") or build_bvh(mesh, leaf_size=PALLAS_LEAF)
-        return make_pallas_env_hit(
-            flat,
-            interpret=kwargs.get("interpret", False),
-            node_test=kwargs.get("node_test", "box"),
-            differentiable_tris=kwargs.get("differentiable_tris", False),
-        )
+        pallas_kw = {
+            k: kwargs[k]
+            for k in ("interpret", "node_test", "differentiable_tris", "tile_rays",
+                      "k_spec", "force_stream")
+            if k in kwargs
+        }
+        return make_pallas_env_hit(flat, **pallas_kw)
     raise ValueError(f"unknown intersector backend: {backend}")

@@ -1,9 +1,10 @@
 """BVH closest-hit as a Pallas TPU kernel.
 
 TPU-native replacement for warp's CUDA `wp.mesh_query_ray`
-(ref kernel.py:71,82). Measured on v5e: ~150 Mrays/s (including host sync
-overhead; ~260 Mrays/s device time) for coherent 8.4M-ray batches against a
-32k-triangle terrain, exact-match against the jnp reference traversal.
+(ref kernel.py:71,82). Measured on v5e: ~300-420 Mrays/s device time for
+coherent 5.2M-ray batches against a 32k-triangle terrain (tile_rays 1024 /
+2048), exact-match against the jnp reference traversal and the brute
+intersector (re-verified on every TPU bench run by bench.py's prologue).
 
 Design (see /opt/skills/guides/pallas_guide.md):
 
@@ -18,7 +19,7 @@ Design (see /opt/skills/guides/pallas_guide.md):
     from `tile_cones`, computed vectorized outside the kernel) against node
     AABBs with a linearly-expanding radius — no vector state per node at
     all; kept for workloads where reduces dominate.
-- **Speculative K-runs**: K=8 consecutive preorder nodes are tested per loop
+- **Speculative K-runs**: K=8 (tunable k_spec<=16) consecutive preorder nodes are tested per loop
   body so their tests are data-independent and pipeline; the cursor then
   advances through the precomputed hit bits with scalar selects. Preorder
   contiguity makes the speculation mostly useful (descent visits node+1).
@@ -54,8 +55,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
   node/cone tables are stored transposed (minor dim = long dim) because SMEM
   rows are padded, and the tile axis is chunked at 8192 tiles/call; the
   scoped VMEM limit is raised via CompilerParams (trif + 6 output blocks
-  exceed the 16 MB default). Meshes beyond ~500k triangles need HBM
-  streaming — guarded, future work.
+  exceed the 16 MB default). Meshes beyond ~500k padded triangles switch to
+  **HBM streaming**: leaf_size = 128 (one storage block per leaf, 8x fewer
+  nodes so the SMEM node table scales to multi-million-triangle meshes) and
+  each drain DMAs its lane-padded (128, 128) block HBM->VMEM.
 
 The public entry `make_pallas_env_hit` carries the same custom-VJP contract
 as rfx.ops.bvh_traverse: straight-through hit selection, closed-form t
@@ -89,20 +92,21 @@ PALLAS_TILE_RAYS = 2048  # default rays per grid program (tunable via tile_rays=
 PALLAS_BLOCK = 128  # triangle-block sublane height (storage quantum)
 PALLAS_LEAF = 16  # default triangles per leaf (sub-block); divisor of 128
 _MISS = 1e30  # == intersect.MISS as a literal (no captured traced constants)
-_K_SPEC = 8  # speculative preorder run length
+_K_SPEC = 8  # default speculative preorder run length
+_K_MAX = 16  # node tables are padded for the largest supported k_spec
 _AGENDA_CAP = 32  # SMEM ring slots; pending <= (group-1) + _K_SPEC < 32
 
 
 def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
             t_ref, idx_ref, fc_ref, nx_ref, ny_ref, nz_ref, tcap_ref, agenda_ref,
-            *tri_scratch, sub, leaf, node_test="box", stream=False):
+            *tri_scratch, sub, leaf, node_test="box", stream=False, k_spec=_K_SPEC):
     """One ray tile vs the whole BVH.
 
-    nodef: SMEM (8, n_nodes) f32 — rows 0-2 = bounding-sphere center,
-           3 = bounding-sphere radius, 4-6 = aabb half-extents (reserved)
-    nodei: SMEM (8, n_nodes) i32 — rows 0-2 = padded-tri start (-1 internal),
-           tri_count, skip
-    cone:  SMEM (16, tiles) f32 — per-tile ray cone from `tile_cones` (rows:
+    nodef: SMEM (6, n_nodes) f32 — rows 0-2 = aabb center, 3-5 = aabb
+           half-extents (lean layout: SMEM is the scaling limit for large
+           meshes — 1M tris @ leaf 128 is ~24k nodes)
+    nodei: SMEM (2, n_nodes) i32 — rows: padded-tri start (-1 internal), skip
+    cone:  SMEM (10, tiles) f32 — per-tile ray cone from `tile_cones` (rows:
            0-2 apex, 3 apex radius, 4-6 axis, 7 cos(half-angle),
            8 sin(half-angle); cos > 1.5 marks an all-dead tile). Transposed so
            SMEM row padding stays bounded.
@@ -154,7 +158,7 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
     loc_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) % leaf
     big_i = jnp.int32(2**30)
 
-    def group_visit(bases):
+    def group_visit(bases, head_for_slot=None):
         """Batched MT over `group` leaves (PALLAS_BLOCK candidate tris),
         folding results straight into the output refs.
 
@@ -172,15 +176,19 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         fc_best = fc_ref[0]
         nx_best, ny_best, nz_best = nx_ref[0], ny_ref[0], nz_ref[0]
         if stream:
-            # HBM-resident triangles (>512k-tri meshes): DMA the leaf's whole
-            # (128, 16) block into VMEM scratch per drain. Streaming forces
-            # leaf == PALLAS_BLOCK so a drain is exactly one aligned block.
+            # HBM-resident triangles (>512k-tri meshes). The block's DMA was
+            # started when the leaf was PUSHED onto the agenda (up to 8 in
+            # flight, one slot per pending leaf), so the drain usually only
+            # pays the wait. Slot index = pending-leaf counter mod 8, matching
+            # the push side.
             tri_buf, dma_sem = tri_scratch
             blk = bases[0] // PALLAS_BLOCK
-            cp = pltpu.make_async_copy(trif_ref.at[blk], tri_buf, dma_sem)
-            cp.start()
+            slot = head_for_slot & jnp.int32(7)
+            cp = pltpu.make_async_copy(
+                trif_ref.at[blk], tri_buf.at[slot], dma_sem.at[slot]
+            )
             cp.wait()
-            tri = tri_buf[:]  # (128, 16)
+            tri = tri_buf[slot]  # (128, 128); lanes 16+ are alignment padding
         else:
             tris = []
             for b in bases:
@@ -268,9 +276,9 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         t_lo = jnp.float32(0.0)
         t_hi = jnp.minimum(t_cap, jnp.float32(T_MAX))
         for ci, ai, hrow in (
-            (nodef_ref[0, nk] - c_ax, c_dx, 4),
-            (nodef_ref[1, nk] - c_ay, c_dy, 5),
-            (nodef_ref[2, nk] - c_az, c_dz, 6),
+            (nodef_ref[0, nk] - c_ax, c_dx, 3),
+            (nodef_ref[1, nk] - c_ay, c_dy, 4),
+            (nodef_ref[2, nk] - c_az, c_dz, 5),
         ):
             h = nodef_ref[hrow, nk] + c_r0
             # entry: need t*(a_i + sin) >= c_i - h (lower side) and
@@ -303,9 +311,9 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         cx = nodef_ref[0, nk]
         cy = nodef_ref[1, nk]
         cz = nodef_ref[2, nk]
-        hx = nodef_ref[4, nk]
-        hy = nodef_ref[5, nk]
-        hz = nodef_ref[6, nk]
+        hx = nodef_ref[3, nk]
+        hy = nodef_ref[4, nk]
+        hz = nodef_ref[5, nk]
         lox = (cx - hx - ox8) * ix8
         hix = (cx + hx - ox8) * ix8
         loy = (cy - hy - oy8) * iy8
@@ -329,13 +337,13 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         node, head, tail = state
         if node_test == "box":
             t_best = t_ref[0]
-            hits = [box_node_hit(node + k, t_best) for k in range(_K_SPEC)]
+            hits = [box_node_hit(node + k, t_best) for k in range(k_spec)]
         else:
             t_cap = tcap_ref[0, 0]  # scalar far-plane from the last drain
-            hits = [cone_node_hit(node + k, t_cap) for k in range(_K_SPEC)]
-        metas = [(nodei_ref[0, node + k], nodei_ref[2, node + k]) for k in range(_K_SPEC)]
+            hits = [cone_node_hit(node + k, t_cap) for k in range(k_spec)]
+        metas = [(nodei_ref[0, node + k], nodei_ref[1, node + k]) for k in range(k_spec)]
         cur = node
-        for k in range(_K_SPEC):
+        for k in range(k_spec):
             base_k, skip_k = metas[k]
             valid = cur == node + k
             hit = valid & hits[k]
@@ -348,22 +356,33 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
             @pl.when(take)
             def _(b=base_k, t=tail):
                 agenda_ref[t & cap_mask] = b
+                if stream:
+                    # Prefetch: start this leaf's HBM->VMEM block copy now;
+                    # the drain waits on it. Slots never collide: pending
+                    # leaves are bounded by 8 (group == 1 drains everything
+                    # each body) and there are 8 buffers.
+                    tri_buf, dma_sem = tri_scratch
+                    slot = t & jnp.int32(7)
+                    pltpu.make_async_copy(
+                        trif_ref.at[b // PALLAS_BLOCK], tri_buf.at[slot],
+                        dma_sem.at[slot],
+                    ).start()
 
             tail = tail + take.astype(jnp.int32)
             # Leaf hit advances to skip_k too (a leaf's skip is its preorder
             # successor); internal hit descends to the next preorder node.
             nxt = jnp.where(hit & ~is_leaf, cur + 1, skip_k)
             cur = jnp.where(valid, nxt, cur)
-        # Drain full groups — _K_SPEC/group scalar-predicated passes per body
-        # keep the pending count bounded below `group` at body end (group
-        # divides _K_SPEC). The pl.when body only touches refs, so the branch
+        # Drain full groups — max(1, k_spec/group) scalar-predicated passes
+        # per body keep the pending count bounded (<= group-1 + k_spec at the
+        # drain point). The pl.when body only touches refs, so the branch
         # carries no vector state.
-        for _ in range(_K_SPEC // group):
+        for _ in range(max(1, k_spec // group)):
             drained = tail - head >= group
 
             @pl.when(drained)
             def _(h=head):
-                group_visit([agenda_ref[(h + g) & cap_mask] for g in range(group)])
+                group_visit([agenda_ref[(h + g) & cap_mask] for g in range(group)], h)
 
             head = head + jnp.where(drained, group, 0)
         return cur, head, tail
@@ -395,7 +414,7 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
         bases = [
             agenda_ref[jnp.minimum(head + g, last) & cap_mask] for g in range(group)
         ]
-        group_visit(bases)
+        group_visit(bases, head)
         return jnp.minimum(head + group, tail), tail
 
     lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
@@ -407,28 +426,26 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
 def _pack_bvh(flat: FlatBVH):
     """Host-side packing into kernel layouts (see _kernel docstring)."""
     n = flat.n_nodes
-    npad = n + _K_SPEC - 1  # speculative window may read past the last node
-    nodef = np.zeros((8, npad), np.float32)
+    npad = n + _K_MAX - 1  # speculative window may read past the last node
+    nodef = np.zeros((6, npad), np.float32)
     center = 0.5 * (flat.aabb_min + flat.aabb_max)
     half = 0.5 * (flat.aabb_max - flat.aabb_min)
     nodef[0:3, :n] = center.T
-    nodef[3, :n] = np.linalg.norm(half, axis=1)  # bounding-sphere radius
-    nodef[4:7, :n] = half.T
-    # Padding nodes sit far away with zero radius; if a pathological cone
+    nodef[3:6, :n] = half.T
+    # Padding nodes sit far away with zero extent; if a pathological cone
     # still "hits" one they are internal (-1 base) and the cursor just walks
-    # +1 through the <= _K_SPEC-1 of them to the exit.
+    # +1 through the <= k_spec-1 of them to the exit.
     nodef[0:3, n:] = 4e18
-    nodei = np.zeros((8, npad), np.int32)
-    # Padded-tri start for leaves (leaf_size-aligned by the builder); -1 marks
-    # internal nodes.
+    nodei = np.zeros((2, npad), np.int32)
+    # Row 0: padded-tri start for leaves (leaf_size-aligned by the builder);
+    # -1 marks internal nodes. Row 1: skip pointer.
     nodei[0, :n] = np.where(flat.tri_count > 0, flat.tri_start, -1)
     nodei[0, n:] = -1
-    nodei[1, :n] = flat.tri_count
-    nodei[2, :n] = flat.skip
+    nodei[1, :n] = flat.skip
     # Padding nodes jump past the padded end: the kernel's loop bound is the
     # PADDED node count, so a skip of `n` would strand the cursor on a
     # padding node forever (skip==self -> infinite loop -> device fault).
-    nodei[2, n:] = npad
+    nodei[1, n:] = npad
     p = flat.n_padded_tris
     pad = (-p) % PALLAS_BLOCK
     blocks = (p + pad) // PALLAS_BLOCK
@@ -455,8 +472,8 @@ DEAD_RAY_POS = 1e8  # |origin| beyond this marks a parked (dead) ray
 
 
 def tile_cones(oT, dT):
-    """Per-tile bounding cones for the scalar traversal: (16, tiles) f32 rows
-    [apex xyz, apex radius, axis xyz, cos, sin, 0...]. Rays parked beyond
+    """Per-tile bounding cones for the scalar traversal: (10, tiles) f32 rows
+    [apex xyz, apex radius, axis xyz, cos, sin, 0]. Rays parked beyond
     DEAD_RAY_POS are excluded; an all-dead tile gets cos=2 (never hits).
     Vectorized XLA over the whole batch — off the kernel's critical path."""
     alive = jnp.max(jnp.abs(oT), axis=0) < DEAD_RAY_POS  # (tiles, sub, 128)
@@ -484,7 +501,7 @@ def tile_cones(oT, dT):
     sin = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(cmin, 1.0) ** 2, 0.0))
 
     tiles = oT.shape[1]
-    cone = jnp.zeros((16, tiles), jnp.float32)
+    cone = jnp.zeros((10, tiles), jnp.float32)
     cone = cone.at[0:3, :].set(apex)
     cone = cone.at[3, :].set(r0)
     cone = cone.at[4:7, :].set(axis)
@@ -493,16 +510,21 @@ def tile_cones(oT, dT):
     return cone
 
 
-@partial(jax.jit, static_argnames=("interpret", "sub", "leaf", "node_test", "stream"))
-def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, leaf=PALLAS_LEAF, node_test="box", stream=False):
+@partial(jax.jit, static_argnames=("interpret", "sub", "leaf", "node_test", "stream", "k_spec"))
+def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, leaf=PALLAS_LEAF, node_test="box", stream=False, k_spec=_K_SPEC):
     """Tiled rays (3, tiles, sub, 128) -> per-ray planes (tiles, sub, 128):
     (t, padded_tri_idx, face, nx, ny, nz)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # Chunk the tile axis so the per-tile cone table stays within the 1 MB
-    # SMEM budget (16 rows x chunk x 4 B; 8192 tiles = 512 KB).
-    max_tiles = 8192
+    # Chunk the tile axis so the node tables + per-tile cone table stay
+    # within the ~1 MB SMEM budget (cone: 10 rows x chunk x 4 B; node tables
+    # scale with the mesh — 1M tris @ leaf 128 is ~760 KB, leaving ~4k tiles
+    # per chunk).
+    node_bytes = nodef.size * 4 + nodei.size * 4
+    budget = 830 * 1024  # leave slack for scratch + spill (measured: ~150 KB of
+    # SMEM beyond the tables at compile time)
+    max_tiles = max(1024, min(8192, (budget - node_bytes) // (10 * 4)))
     total = oT.shape[1]
     if total > max_tiles:
         n_chunks = -(-total // max_tiles)
@@ -520,7 +542,7 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
                 nodef, nodei, trif,
                 oT[:, i * per : (i + 1) * per], dT[:, i * per : (i + 1) * per],
                 interpret=interpret, sub=sub, leaf=leaf, node_test=node_test,
-                stream=stream,
+                stream=stream, k_spec=k_spec,
             )
             for i in range(n_chunks)
         ]
@@ -537,17 +559,21 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
         pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
     ]
     if stream:
-        # Triangle blocks stay in HBM; drains DMA one (128, 16) block into
-        # this VMEM buffer (leaf == 128 enforced by _PallasBVH).
+        # Triangle blocks stay in HBM; pushes start one lane-padded (128, 128)
+        # block copy per pending leaf into this 8-deep VMEM ring (leaf == 128
+        # enforced by _PallasBVH; only the first 16 lanes carry data — HBM
+        # slices must be 128-lane aligned). 8 buffers never collide: group==1
+        # drains every pending leaf each body, bounding in-flight copies at 8.
         scratch += [
-            pltpu.VMEM((PALLAS_BLOCK, 16), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((8, PALLAS_BLOCK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
         ]
         trif_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     else:
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_kernel, sub=sub, leaf=leaf, node_test=node_test, stream=stream),
+        partial(_kernel, sub=sub, leaf=leaf, node_test=node_test, stream=stream,
+                k_spec=k_spec),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -580,7 +606,7 @@ STREAM_TRI_THRESHOLD = 512 * 1024  # beyond this, triangles stay in HBM
 
 class _PallasBVH:
     def __init__(self, flat: FlatBVH, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
-                 node_test: str = "box", force_stream: bool = False):
+                 node_test: str = "box", force_stream: bool = False, k_spec: int = _K_SPEC):
         if 128 % flat.leaf_size or flat.leaf_size < 16:
             # leaf < 16 would make group = 128/leaf exceed _K_SPEC, so a body
             # could enqueue more leaves than its drain phase can retire.
@@ -601,6 +627,11 @@ class _PallasBVH:
             raise ValueError("tile_rays must be a multiple of 128")
         self.flat = flat
         self.nodef, self.nodei, self.trif = _pack_bvh(flat)
+        if self.stream:
+            # HBM slices must be lane-aligned (Mosaic: last dim % 128 == 0):
+            # pad the 16 attribute lanes to 128. 8x HBM footprint, but only
+            # large meshes stream and the DMA is still one 64 KB block/drain.
+            self.trif = jnp.pad(self.trif, ((0, 0), (0, 0), (0, 128 - 16)))
         self.tri_face = jnp.asarray(flat.tri_face)
         self.tri_v0 = jnp.asarray(flat.tri_v0)
         self.tri_e1 = jnp.asarray(flat.tri_e1)
@@ -609,6 +640,9 @@ class _PallasBVH:
         self.tile_rays = tile_rays
         self.leaf = flat.leaf_size
         self.node_test = node_test
+        if not 1 <= k_spec <= _K_MAX:
+            raise ValueError(f"k_spec must be in [1, {_K_MAX}]")
+        self.k_spec = k_spec
 
     def live_trif(self, v0, e1, e2):
         """Repack the kernel triangle blocks from live (original-order)
@@ -640,7 +674,10 @@ class _PallasBVH:
             [lv0, le1, le2, n, face[:, None], jnp.zeros((p + pad, 3), jnp.float32)],
             axis=1,
         )  # (P', 16)
-        return cols.reshape(blocks, PALLAS_BLOCK, 16)
+        out = cols.reshape(blocks, PALLAS_BLOCK, 16)
+        if self.stream:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, 128 - 16)))  # lane alignment
+        return out
 
 
 def pallas_hit_planes(pb: _PallasBVH, oT, dT, trif=None):
@@ -651,7 +688,7 @@ def pallas_hit_planes(pb: _PallasBVH, oT, dT, trif=None):
     return _pallas_hit_tiled(
         pb.nodef, pb.nodei, pb.trif if trif is None else trif, oT, dT,
         interpret=pb.interpret, sub=oT.shape[2], leaf=pb.leaf,
-        node_test=pb.node_test, stream=pb.stream,
+        node_test=pb.node_test, stream=pb.stream, k_spec=pb.k_spec,
     )
 
 
@@ -678,7 +715,7 @@ def pallas_closest_hit(pb: _PallasBVH, o, d, trif=None):
 
 def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = PALLAS_TILE_RAYS,
                         node_test: str = "box", differentiable_tris: bool = False,
-                        force_stream: bool = False):
+                        force_stream: bool = False, k_spec: int = _K_SPEC):
     """env_hit(o, d, v0, e1, e2, normals) -> (t, face, nrm) with Pallas
     forward + custom VJP (straight-through selection; closed-form t backward
     on the selected face, cotangents to the ray arrays).
@@ -712,7 +749,7 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
         if not big and flat.n_padded_tris > STREAM_TRI_THRESHOLD:
             flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK)
     pb = _PallasBVH(flat, interpret=interpret, tile_rays=tile_rays, node_test=node_test,
-                    force_stream=force_stream)
+                    force_stream=force_stream, k_spec=k_spec)
 
     if not differentiable_tris:
         @jax.custom_vjp
