@@ -49,12 +49,15 @@ def main():
     if os.environ.get("RFX_BENCH_SKIP_PARITY", "") != "1":
         import sys
 
+        sys.path.insert(0, os.path.dirname(__file__))
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-        from test_tpu_compiled import run_compiled_parity_checks
+        from test_tpu_compiled import run_compiled_gradient_checks, run_compiled_parity_checks
 
         ncap_parity = run_compiled_parity_checks()
         assert ncap_parity > 0
         print(f"# compiled-mode parity checks passed (captured {ncap_parity})", flush=True)
+        ngrad = run_compiled_gradient_checks()
+        print(f"# compiled-mode gradient FD checks passed ({ngrad})", flush=True)
 
     n_rays = 5_242_880  # ~5M, multiple of the 1024-ray kernel tile
     max_bounces = 4

@@ -71,10 +71,17 @@ class Tracer:
         self.log = get_logger("rfx.api")
 
         if backend == "auto":
-            # Brute-force Moller-Trumbore is the right call for small meshes;
-            # BVH backends take over above ~2k triangles (registered by
-            # rfx.ops backends as they come online).
-            backend = "brute" if environment.num_faces <= 2048 else "bvh"
+            # Brute-force Moller-Trumbore is the right call for small meshes.
+            # Above ~2k triangles, the flagship Pallas traversal kernel is the
+            # default on real accelerators (mirroring the reference, where the
+            # fast path IS the default path, ref tracer.py:75-79); the jnp
+            # while-loop BVH walk remains the CPU default (Pallas interpret
+            # mode is far slower than compiled XLA there).
+            if environment.num_faces <= 2048:
+                backend = "brute"
+            else:
+                on_accel = jax.devices()[0].platform != "cpu"
+                backend = "pallas" if on_accel else "bvh"
         self.backend = backend
         self.env_hit = make_env_intersector(backend, mesh=environment)
 
@@ -126,12 +133,18 @@ class Tracer:
 
     # -- reference-parity API -------------------------------------------------
     def compute_cir(self, tx_pos, tx_power, rx_pos, rx_radius, *,
-                    directions=None, record_paths: bool = True,
+                    directions=None, record_paths: bool = False,
                     max_paths: int = 10_000):
         """(paths, impulse_response) — reference semantics (ref tracer.py:63).
 
         `directions`: optional (N, 3) array for reproducible runs; defaults to
         tx_num_rays fresh PRNG directions. Returns numpy outputs.
+
+        `record_paths` defaults to False: path vertices are only needed for
+        visualization, and recording them materializes a (B, N, 3) buffer
+        (240 MB at 5M rays x 4 bounces — the reference round-trips that much
+        every call, ref tracer.py:67-84; we only pay it on request). With
+        record_paths=False the returned `paths` list is empty.
         """
         import time
 
@@ -161,7 +174,7 @@ class Tracer:
         return paths, np.asarray(ir)
 
     def compute_coverage(self, tx_pos, tx_power, rx_centers, rx_radius, *,
-                         directions=None, rx_batch: int = 8):
+                         directions=None, rx_batch: int = 64):
         """(M, nbins) impulse responses for M receivers from a single trace."""
         dirs, active = self._directions(directions)
         irs = coverage_irs(
@@ -186,7 +199,7 @@ class Tracer:
 
     def compute_coverage_dbm_fast(self, tx_pos, tx_power, rx_centers, rx_radius, *,
                                   carrier_hz: float = 2.4e9, directions=None,
-                                  rx_batch: int = 8):
+                                  rx_batch: int = 64):
         """(M,) dBm per receiver via the phasor fast path (no per-RX impulse
         response; see rfx.coverage.coverage_dbm_fast for speed/accuracy)."""
         dirs, active = self._directions(directions)

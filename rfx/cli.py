@@ -117,7 +117,7 @@ def cmd_cir(args) -> int:
                 dirs = _sampler.sphere_directions(
                     _jax.random.fold_in(_jax.random.PRNGKey(cfg.seed), cid), n_chunk
                 )
-                with timer.phase(f"chunk"):
+                with timer.phase("chunk"):
                     p, partial_ir = tracer.compute_cir(
                         cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
                         directions=dirs,

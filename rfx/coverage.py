@@ -78,7 +78,7 @@ def coverage_irs(
     tx_power: float = 1.0,
     n1=5.0,
     n2=1.0,
-    rx_batch: int = 8,
+    rx_batch: int = 64,
     env_hit=None,
     active=None,
     soft: bool = False,
@@ -176,7 +176,7 @@ def coverage_dbm_fast(
     tx_power: float = 1.0,
     n1=5.0,
     n2=1.0,
-    rx_batch: int = 8,
+    rx_batch: int = 64,
     env_hit=None,
     active=None,
 ):

@@ -281,9 +281,13 @@ def make_env_intersector(backend: str = "brute", *, ray_chunk: int = 65536, **kw
             return make_bvh_env_hit(
                 flat, differentiable_tris=kwargs.get("differentiable_tris", False)
             )
-        from rfx.ops.pallas_trace import PALLAS_LEAF, make_pallas_env_hit
+        from rfx.ops.pallas_trace import make_pallas_env_hit
 
-        flat = kwargs.get("flat_bvh") or build_bvh(mesh, leaf_size=PALLAS_LEAF)
+        # Pass the mesh through when no prebuilt BVH was supplied:
+        # make_pallas_env_hit picks the leaf size itself (16 for VMEM-resident
+        # meshes, 128 for >512k-tri HBM-streaming ones — prebuilding leaf-16
+        # here would reject every large mesh).
+        flat = kwargs.get("flat_bvh") or mesh
         pallas_kw = {
             k: kwargs[k]
             for k in ("interpret", "node_test", "differentiable_tris", "tile_rays",

@@ -18,7 +18,9 @@ def test_compute_cir_matches_oracle(box_room):
     # explicit icosphere: the oracle defaults to the reference's tessellated
     # receiver, and this test pins exact geometric parity with it
     t = Tracer(box_room, C, RATE, WINDOW, max_bounces=3, tx_num_rays=3000, rx_mode="icosphere")
-    paths, ir = t.compute_cir(tx, 1.0, rx, 1.0, directions=dirs)
+    # record_paths explicitly: the default is now False (paths are a
+    # viz-only cost), but this test pins path parity with the oracle.
+    paths, ir = t.compute_cir(tx, 1.0, rx, 1.0, directions=dirs, record_paths=True)
     o = OracleTracer(box_room, C, RATE, WINDOW, 3)
     o_paths, o_ir = o.compute_cir(tx, 1.0, rx, 1.0, dirs)
     assert len(paths) == len(o_paths)

@@ -126,6 +126,93 @@ def run_compiled_parity_checks():
     return int(cb.sum())
 
 
+def run_compiled_gradient_checks():
+    """FD-verify gradients through the COMPILED Pallas backend on the TPU.
+
+    The interpret-mode FD test (test_gradients.py) proves the VJP algebra;
+    this proves the compiled Mosaic lowering of the same graph — the exact
+    risk class that already produced one silent compiled-only miscompile
+    (commit 87b261d: scan-gather of traced normals; rfx/ops/intersect.py
+    hit_normal_from_edges documents it). Called by bench.py's prologue so
+    every recorded TPU bench run re-verifies it. Returns the number of
+    FD comparisons performed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rfx.cir import cir_from_trace
+    from rfx.geometry import make_room
+    from rfx.ops.intersect import make_env_intersector
+    from rfx.tracer import Scene, trace_to_rx
+    from oracle import sample_sphere_directions
+
+    checks = 0
+
+    # 1. vertex gradients through compiled differentiable_tris (live_trif
+    #    repack + scatter-add backward). Box room: rays crossing a moved edge
+    #    flip between coplanar wall triangles, keeping FD honest.
+    room = make_room()
+    scene = Scene.from_mesh(room)
+    env_hit = make_env_intersector("pallas", mesh=room, differentiable_tris=True)
+    dirs = jnp.asarray(sample_sphere_directions(2048, seed=21))
+    tx = jnp.asarray([4.0, 3.0, 6.0], jnp.float32)
+    rxp = jnp.asarray([-6.0, -4.0, 5.0], jnp.float32)
+
+    @jax.jit
+    def loss_v(vertices):
+        r = trace_to_rx(
+            Scene(vertices, scene.faces), tx, dirs, rxp, 2.0,
+            max_bounces=2, rx_mode="analytic", env_hit=env_hit,
+        )
+        return jnp.sum(jnp.where(r.captured, r.amplitude * r.distance, 0.0))
+
+    v0 = scene.vertices
+    g = jax.jit(jax.grad(loss_v))(v0)
+    assert np.all(np.isfinite(np.asarray(g))), "compiled vertex grad non-finite"
+    assert float(jnp.sum(jnp.abs(g))) > 0.0, "compiled vertex grad identically zero"
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=v0.shape), jnp.float32)
+    u = u / jnp.linalg.norm(u)
+    eps = 2e-3
+    fd = (float(loss_v(v0 + eps * u)) - float(loss_v(v0 - eps * u))) / (2 * eps)
+    ad = float(jnp.vdot(g, u))
+    assert abs(ad - fd) < 0.08 * max(abs(fd), abs(ad), 1e-3), (
+        f"compiled vertex grad vs FD: ad={ad} fd={fd}"
+    )
+    checks += 1
+
+    # 2. compiled jit(grad) of the full trace-to-IR loss wrt tx_pos (soft
+    #    binning so delay gradients flow), FD-checked per axis.
+    env_hit_nd = make_env_intersector("pallas", mesh=room)
+
+    @jax.jit
+    def loss_tx(txp):
+        r = trace_to_rx(
+            scene, txp, dirs, rxp, 2.0, max_bounces=2, rx_mode="analytic",
+            env_hit=env_hit_nd,
+        )
+        ir = cir_from_trace(
+            r, tx_power=5.0, num_rays=dirs.shape[0], nbins=512,
+            light_speed_mps=2.998e8, sample_rate_hz=10e9, soft=True,
+        )
+        return jnp.sum(ir * ir) * 1e12
+
+    tx0 = jnp.asarray([4.0, 3.0, 6.0], jnp.float32)
+    gtx = jax.jit(jax.grad(loss_tx))(tx0)
+    assert np.all(np.isfinite(np.asarray(gtx))), "compiled tx grad non-finite"
+    eps = 1e-3
+    for a in range(3):
+        tp = np.asarray(tx0).copy(); tp[a] += eps
+        tm = np.asarray(tx0).copy(); tm[a] -= eps
+        fd = (float(loss_tx(jnp.asarray(tp))) - float(loss_tx(jnp.asarray(tm)))) / (2 * eps)
+        ga = float(gtx[a])
+        assert abs(ga - fd) < 0.08 * max(abs(fd), abs(ga), 1e-3), (
+            f"compiled tx grad vs FD on axis {a}: ad={ga} fd={fd}"
+        )
+        checks += 1
+    return checks
+
+
 @requires_tpu
 def test_compiled_pallas_matches_brute_on_tpu():
     import jax
@@ -135,3 +222,13 @@ def test_compiled_pallas_matches_brute_on_tpu():
         pytest.skip("no TPU device visible")
     ncap = run_compiled_parity_checks()
     assert ncap > 0, "parity workload captured nothing (degenerate test)"
+
+
+@requires_tpu
+def test_compiled_gradients_match_fd_on_tpu():
+    import jax
+
+    jax.config.update("jax_platforms", "")  # undo conftest's CPU pin
+    if not _tpu_available():
+        pytest.skip("no TPU device visible")
+    assert run_compiled_gradient_checks() >= 4
