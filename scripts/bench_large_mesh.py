@@ -1,0 +1,146 @@
+"""Large-mesh hardware proof: >=1M-triangle terrain through the HBM-streaming
+Pallas path, compiled on the real TPU (round-2 VERDICT missing #3).
+
+The reference's flagship scene is the apollo_17 landing-site terrain scan
+(ref main.py:21), a large STL missing from the mirror (SURVEY.md C10); the
+stand-in is a 724x724 procedural crater field = 1,045,458 triangles — the
+same size class. Beyond STREAM_TRI_THRESHOLD the kernel keeps triangle
+blocks in HBM and DMAs one (128, 128) block per pending leaf (leaf = 128),
+so this run exercises that path end-to-end, compiled.
+
+Outputs BENCH_LARGE_r03.json:
+  - subsample parity: streaming-TPU query vs the independent jnp BVH
+    traversal on CPU (16k rays), plus capture-level trace agreement
+  - multi-bounce end-to-end Mrays/s on the 5.24M-ray x 4-bounce CIR workload
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rfx import sampler
+    from rfx.bvh import build_bvh
+    from rfx.cir import cir_from_trace
+    from rfx.geometry import make_terrain
+    from rfx.ops.intersect import is_hit, mesh_soa
+    from rfx.ops.pallas_trace import PALLAS_BLOCK, make_pallas_env_hit
+    from rfx.ops.bvh_traverse import make_bvh_env_hit
+    from rfx.tracer import Scene, trace_to_rx
+
+    _ = np.asarray(jnp.ones((8, 128)))
+    out = {}
+
+    t0 = time.perf_counter()
+    mesh = make_terrain(grid=724, extent=120.0, seed=0)
+    out["triangles"] = int(mesh.num_faces)
+    t_mesh = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    flat = build_bvh(mesh, leaf_size=PALLAS_BLOCK)
+    out["bvh_build_seconds"] = round(time.perf_counter() - t0, 2)
+    out["bvh_nodes"] = int(flat.n_nodes)
+    out["padded_tris"] = int(flat.n_padded_tris)
+
+    env_hit = make_pallas_env_hit(flat)  # auto-selects streaming at this size
+    from rfx.ops.pallas_trace import STREAM_TRI_THRESHOLD, _PallasBVH  # noqa: F401
+
+    assert flat.n_padded_tris > STREAM_TRI_THRESHOLD, "not actually streaming-sized"
+    out["streaming"] = True
+
+    scene = Scene.from_mesh(mesh)
+    v0, e1, e2, normals = mesh_soa(scene.vertices, scene.faces)
+    tx = jnp.asarray([10.0, 0.0, 30.0], jnp.float32)
+    rx = jnp.asarray([-15.0, 5.0, 12.0], jnp.float32)
+
+    # ---- parity: 16k-ray subsample, streaming TPU vs jnp BVH walk on CPU ----
+    n_par = 16384
+    dirs_par = sampler.morton_sphere_directions(jax.random.PRNGKey(7), n_par)
+    o_par = jnp.broadcast_to(tx, (n_par, 3))
+    tp, fp, _n = jax.jit(lambda o, d: env_hit(o, d, v0, e1, e2, normals))(o_par, dirs_par)
+    tp = np.asarray(tp)
+    fp = np.asarray(fp)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        bvh_hit = make_bvh_env_hit(build_bvh(mesh))  # independent leaf-16 SAH tree
+        vc, ec1, ec2, nc = mesh_soa(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces))
+        tc, fc, _ = jax.jit(lambda o, d: bvh_hit(o, d, vc, ec1, ec2, nc))(
+            jax.device_put(o_par, cpu), jax.device_put(dirs_par, cpu)
+        )
+        tc = np.asarray(tc)
+        fc = np.asarray(fc)
+
+    hit_c = tc < 1e29
+    hit_p = tp < 1e29
+    mask_mism = int((hit_c != hit_p).sum())
+    both = hit_c & hit_p
+    t_ok = np.allclose(tp[both], tc[both], rtol=1e-4, atol=1e-3)
+    f_mism = int((fp[both] != fc[both]).sum())
+    # f32 ties between abutting terrain triangles may pick either face; t must
+    # still agree wherever faces differ.
+    out["parity_16k"] = {
+        "hits": int(hit_c.sum()),
+        "hit_mask_mismatch": mask_mism,
+        "t_allclose": bool(t_ok),
+        "face_mismatch": f_mism,
+    }
+    assert mask_mism <= n_par // 2000, f"hit-mask mismatch {mask_mism}"
+    assert t_ok, "t mismatch vs jnp BVH reference"
+    assert f_mism <= max(4, int(both.sum()) // 1000), f"face mismatch {f_mism}"
+
+    # ---- end-to-end multi-bounce throughput ----
+    n_rays = 5_242_880
+    max_bounces = 4
+    nbins = 20_000
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(0), n_rays)
+
+    reps = 2  # traces per dispatch (compile memory stays bounded)
+
+    @jax.jit
+    def run(vertices, faces, tx_pos, rx_pos, directions):
+        s = jnp.float32(0.0)
+        ncap = jnp.int32(0)
+        for i in range(reps):
+            txi = tx_pos + jnp.asarray([0.0, 0.0, 1.0], jnp.float32) * i
+            result = trace_to_rx(
+                Scene(vertices, faces), txi, directions, rx_pos, 2.0,
+                max_bounces=max_bounces, rx_mode="analytic", env_hit=env_hit,
+            )
+            ir = cir_from_trace(
+                result, tx_power=1.0, num_rays=n_rays, nbins=nbins,
+                light_speed_mps=2.998e8, sample_rate_hz=100e9,
+            )
+            s = s + ir.sum()
+            ncap = ncap + result.captured.sum()
+        return s, ncap
+
+    s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+    assert float(s) > 0 and int(ncap) > 0, "large-mesh trace captured nothing"
+    out["captured"] = int(ncap)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+        _ = float(s)
+        times.append(time.perf_counter() - t0)
+    best = min(times) / reps
+    out["rays"] = n_rays
+    out["bounces"] = max_bounces
+    out["seconds_per_trace"] = round(best, 4)
+    out["mrays_per_s"] = round(n_rays / best / 1e6, 2)
+
+    with open("BENCH_LARGE_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
