@@ -1,0 +1,477 @@
+"""Fused multi-bounce trace as ONE Pallas TPU kernel (the round-3 fast path).
+
+Motivation (measured, scripts/profile_bounces.py + scripts/exp_fixed_cost.py,
+committed in PROFILE_r03.json): with the per-query kernel the bounce loop pays
+~7-9 ms of XLA glue per bounce — AoS->SoA transposes of the (N, 3) carry,
+tile_cones, output reshape/stack — plus the full 13-plane carry round-trip
+through HBM every bounce. At 4 bounces that glue is ~30 ms of the 80 ms
+flagship trace, more than any single walk. Bounce 3 (0.3% rays alive) still
+cost ~10 ms: almost pure overhead.
+
+This kernel runs the ENTIRE bounce loop per ray tile on-chip: spawn state,
+per-bounce receiver-sphere test, BVH walk (same tile-uniform skip-pointer
+traversal + batched Moller-Trumbore drains as rfx.ops.pallas_trace, which see
+for the design rationale), specular reflection, Fresnel accumulation, capture
+folding — the carry never leaves VMEM. HBM traffic collapses to: direction
+planes in, four result planes out. The receiver test is the analytic sphere
+(the facade's default; ref tracer.py:26-30 tessellates an icosphere — that
+parity mode stays on the scan path).
+
+Semantics match rfx.tracer.trace_to_rx exactly (same capture rule
+`t_env > t_rx` as ref kernel.py:85, same persistent alive mask, same parking
+of dead rays): parity-tested in tests/test_fused.py and re-verified compiled
+on every TPU bench run. The Fresnel factor is computed algebraically from
+cos(bend) = 1 - 2 (d.n)^2 — sin(theta) = sqrt(1 - (d.n)^2), cos(theta) =
+|d.n| — which is the same s-polarised power coefficient as
+rfx.physics.fresnel_bounce_amplitude (ref tracer.py:34-61) without the
+arccos/arcsin round-trip (no transcendentals on the hot path; equal to the
+scan path within f32 tolerance, modulo its clip epsilons).
+
+Forward-only: gradients keep using the scan path with per-query custom-VJP
+intersectors (rfx.tracer.trace_to_rx). The facade selects this kernel for
+non-differentiated forward traces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfx.bvh import FlatBVH, build_bvh
+from rfx.ops.intersect import MISS_THRESHOLD, T_MIN_EPS
+from rfx.ops.pallas_trace import (
+    PALLAS_BLOCK,
+    PALLAS_LEAF,
+    PALLAS_TILE_RAYS,
+    STREAM_TRI_THRESHOLD,
+    _AGENDA_CAP,
+    _K_SPEC,
+    _MISS,
+    _pack_bvh,
+)
+
+__all__ = ["make_fused_tracer", "fused_trace_planes"]
+
+_DEAD = 1e9  # parked-ray origin (matches rfx.tracer's park sentinel)
+
+
+def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
+                  capt_ref, capa_ref, capd_ref, nb_ref,
+                  o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s,
+                  tcap_ref, agenda_ref, *tri_scratch,
+                  sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC):
+    """One ray tile, all bounces.
+
+    scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
+           [8] n2, rest zero.
+    nodef: SMEM (6, n_nodes) f32 — aabb center rows 0-2, half-extent rows 3-5
+    nodei: SMEM (2, n_nodes) i32 — padded-tri start (-1 internal), skip
+    d_in:  VMEM (3, 1, SUB, 128) f32 spawn direction planes for this tile
+    out:   capt (1, SUB, 128) i32 (0/1); capa, capd f32; nb i32
+    trif:  VMEM (n_blocks, 128, 16) f32 triangle blocks (HBM when stream)
+    scratch: per-tile ray state planes (VMEM (SUB, 128)): o/d/inv components,
+           walk accumulators t/nx/ny/nz, amp, dist, alive (f32 0/1)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.lax as lax
+
+    n_nodes = nodef_ref.shape[1]
+    t_min = jnp.float32(T_MIN_EPS)
+    big = jnp.float32(1e30)
+    miss_th = jnp.float32(MISS_THRESHOLD)
+    group = PALLAS_BLOCK // leaf
+    cap_mask = jnp.int32(_AGENDA_CAP - 1)
+    loc_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) % leaf
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) // leaf
+
+    tx0, tx1, tx2 = scal_ref[0], scal_ref[1], scal_ref[2]
+    rx0, rx1, rx2 = scal_ref[3], scal_ref[4], scal_ref[5]
+    r2 = scal_ref[6]
+    n1 = scal_ref[7]
+    n2 = scal_ref[8]
+
+    # --- spawn state -------------------------------------------------------
+    o_s[0] = jnp.full((sub, 128), tx0, jnp.float32)
+    o_s[1] = jnp.full((sub, 128), tx1, jnp.float32)
+    o_s[2] = jnp.full((sub, 128), tx2, jnp.float32)
+    d_s[0] = d_in_ref[0, 0]
+    d_s[1] = d_in_ref[1, 0]
+    d_s[2] = d_in_ref[2, 0]
+    amp_s[:] = jnp.ones((sub, 128), jnp.float32)
+    dist_s[:] = jnp.zeros((sub, 128), jnp.float32)
+    alive_s[:] = jnp.ones((sub, 128), jnp.float32)
+    capt_ref[0] = jnp.zeros((sub, 128), jnp.int32)
+    capa_ref[0] = jnp.zeros((sub, 128), jnp.float32)
+    capd_ref[0] = jnp.zeros((sub, 128), jnp.float32)
+    nb_ref[0] = jnp.zeros((sub, 128), jnp.int32)
+
+    def group_visit(bases, head_for_slot):
+        """Batched MT over `group` leaves, folding t and the winning
+        triangle's unit normal into the walk accumulator refs. Same layout
+        and tie-break discipline as pallas_trace._kernel.group_visit."""
+        t_best = t_s[:]
+        nx_best, ny_best, nz_best = nx_s[:], ny_s[:], nz_s[:]
+        if stream:
+            tri_buf, dma_sem = tri_scratch
+            slot = head_for_slot & jnp.int32(7)
+            pltpu.make_async_copy(
+                trif_ref.at[bases[0] // PALLAS_BLOCK], tri_buf.at[slot],
+                dma_sem.at[slot],
+            ).wait()
+            tri = tri_buf[slot]
+        else:
+            tris = []
+            for b in bases:
+                blk = b // PALLAS_BLOCK
+                off = pl.multiple_of(b % PALLAS_BLOCK, leaf)
+                tris.append(trif_ref[blk, pl.ds(off, leaf), :])
+            tri = tris[0] if group == 1 else jnp.concatenate(tris, axis=0)
+        gbase = jnp.zeros((PALLAS_BLOCK, 1), jnp.int32)
+        for g, b in enumerate(bases):
+            gbase = jnp.where(slot_col == g, b, gbase)
+        gidx_col = gbase + loc_col
+        big_i = jnp.int32(2**30)
+
+        v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        cnx, cny, cnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+        t_rows, nx_rows, ny_rows, nz_rows = [], [], [], []
+        ox8, oy8, oz8 = o_s[0], o_s[1], o_s[2]
+        dx8, dy8, dz8 = d_s[0], d_s[1], d_s[2]
+        for r in range(sub):
+            oxr, oyr, ozr = ox8[r : r + 1, :], oy8[r : r + 1, :], oz8[r : r + 1, :]
+            dxr, dyr, dzr = dx8[r : r + 1, :], dy8[r : r + 1, :], dz8[r : r + 1, :]
+            px = e2z * dyr - e2y * dzr
+            py = e2x * dzr - e2z * dxr
+            pz = e2y * dxr - e2x * dyr
+            det = e1x * px + e1y * py + e1z * pz
+            valid = jnp.abs(det) > 1e-12
+            inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+            tvx = oxr - v0x
+            tvy = oyr - v0y
+            tvz = ozr - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dxr * qx + dyr * qy + dzr * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_min)
+            t = jnp.where(ok, t, _MISS)
+            tl = jnp.min(t, axis=0, keepdims=True)
+            ii = jnp.min(jnp.where(t <= tl, gidx_col, big_i), axis=0, keepdims=True)
+            sel = (t <= tl) & (gidx_col == ii)
+            nxl = jnp.min(jnp.where(sel, cnx, big), axis=0, keepdims=True)
+            nyl = jnp.min(jnp.where(sel, cny, big), axis=0, keepdims=True)
+            nzl = jnp.min(jnp.where(sel, cnz, big), axis=0, keepdims=True)
+            tb = t_best[r : r + 1, :]
+            upd = tl < tb
+            t_rows.append(jnp.where(upd, tl, tb))
+            nx_rows.append(jnp.where(upd, nxl, nx_best[r : r + 1, :]))
+            ny_rows.append(jnp.where(upd, nyl, ny_best[r : r + 1, :]))
+            nz_rows.append(jnp.where(upd, nzl, nz_best[r : r + 1, :]))
+        new_t = jnp.concatenate(t_rows, axis=0)
+        tcap_ref[0, 0] = jnp.max(new_t)
+        t_s[:] = new_t
+        nx_s[:] = jnp.concatenate(nx_rows, axis=0)
+        ny_s[:] = jnp.concatenate(ny_rows, axis=0)
+        nz_s[:] = jnp.concatenate(nz_rows, axis=0)
+
+    def box_node_hit(nk):
+        """Per-ray slab test + any() reduce (see pallas_trace.box_node_hit)."""
+        t_best = t_s[:]
+        cx = nodef_ref[0, nk]
+        cy = nodef_ref[1, nk]
+        cz = nodef_ref[2, nk]
+        hx = nodef_ref[3, nk]
+        hy = nodef_ref[4, nk]
+        hz = nodef_ref[5, nk]
+        ox8, oy8, oz8 = o_s[0], o_s[1], o_s[2]
+        ix8, iy8, iz8 = i_s[0], i_s[1], i_s[2]
+        lox = (cx - hx - ox8) * ix8
+        hix = (cx + hx - ox8) * ix8
+        loy = (cy - hy - oy8) * iy8
+        hiy = (cy + hy - oy8) * iy8
+        loz = (cz - hz - oz8) * iz8
+        hiz = (cz + hz - oz8) * iz8
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+            jnp.minimum(loz, hiz),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+            jnp.maximum(loz, hiz),
+        )
+        box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= t_min)
+        return jnp.any(box_hit)
+
+    def walk_body(state):
+        node, head, tail = state
+        hits = [box_node_hit(node + k) for k in range(k_spec)]
+        metas = [(nodei_ref[0, node + k], nodei_ref[1, node + k]) for k in range(k_spec)]
+        cur = node
+        for k in range(k_spec):
+            base_k, skip_k = metas[k]
+            valid = cur == node + k
+            hit = valid & hits[k]
+            is_leaf = base_k >= 0
+            take = hit & is_leaf
+
+            @pl.when(take)
+            def _(b=base_k, t=tail):
+                agenda_ref[t & cap_mask] = b
+                if stream:
+                    tri_buf, dma_sem = tri_scratch
+                    slot = t & jnp.int32(7)
+                    pltpu.make_async_copy(
+                        trif_ref.at[b // PALLAS_BLOCK], tri_buf.at[slot],
+                        dma_sem.at[slot],
+                    ).start()
+
+            tail = tail + take.astype(jnp.int32)
+            nxt = jnp.where(hit & ~is_leaf, cur + 1, skip_k)
+            cur = jnp.where(valid, nxt, cur)
+        for _ in range(max(1, k_spec // group)):
+            drained = tail - head >= group
+
+            @pl.when(drained)
+            def _(h=head):
+                group_visit([agenda_ref[(h + g) & cap_mask] for g in range(group)], h)
+
+            head = head + jnp.where(drained, group, 0)
+        return cur, head, tail
+
+    def flush_body(state):
+        head, tail = state
+        last = tail - 1
+        bases = [
+            agenda_ref[jnp.minimum(head + g, last) & cap_mask] for g in range(group)
+        ]
+        group_visit(bases, head)
+        return jnp.minimum(head + group, tail), tail
+
+    eps = jnp.float32(1e-30)
+
+    def inv_plane(v):
+        ok = jnp.abs(v) > eps
+        return jnp.where(ok, 1.0 / jnp.where(ok, v, 1.0), big)
+
+    def bounce_body(b, _):
+        # Reset walk accumulators.
+        t_s[:] = jnp.full((sub, 128), _MISS, jnp.float32)
+        nx_s[:] = jnp.zeros((sub, 128), jnp.float32)
+        ny_s[:] = jnp.zeros((sub, 128), jnp.float32)
+        nz_s[:] = jnp.zeros((sub, 128), jnp.float32)
+        tcap_ref[0, 0] = jnp.float32(_MISS)
+        i_s[0] = inv_plane(d_s[0])
+        i_s[1] = inv_plane(d_s[1])
+        i_s[2] = inv_plane(d_s[2])
+
+        # Dead-tile early exit: if no ray in the tile is alive, skip the walk
+        # entirely (the while loop below starts past the last node).
+        alive_any = jnp.max(alive_s[:]) > 0.5
+        node0 = jnp.where(alive_any, jnp.int32(0), jnp.int32(n_nodes))
+        _, head, tail = lax.while_loop(
+            lambda s: s[0] < n_nodes, walk_body, (node0, jnp.int32(0), jnp.int32(0))
+        )
+        lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
+
+        # --- physics + capture fold (vector, per plane) --------------------
+        ox, oy, oz = o_s[0], o_s[1], o_s[2]
+        dx, dy, dz = d_s[0], d_s[1], d_s[2]
+        alive = alive_s[:] > 0.5
+        t_env = t_s[:]
+        nx, ny, nz = nx_s[:], ny_s[:], nz_s[:]
+
+        # Analytic receiver sphere (matches rfx.ops.intersect.ray_sphere_hit).
+        ocx, ocy, ocz = ox - rx0, oy - rx1, oz - rx2
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = bq * bq - cq
+        sph = disc > 0.0
+        s = jnp.sqrt(jnp.where(sph, disc, 1.0))
+        t0 = -bq - s
+        t1 = -bq + s
+        t_rx = jnp.where(t0 > t_min, t0, jnp.where(t1 > t_min, t1, _MISS))
+        t_rx = jnp.where(sph, t_rx, _MISS)
+
+        env_hit = t_env < miss_th
+        rx_win = alive & (t_rx < miss_th) & (t_env > t_rx)
+        env_b = alive & (~rx_win) & env_hit
+
+        amp = amp_s[:]
+        dist = dist_s[:]
+        capt_ref[0] = capt_ref[0] | rx_win.astype(jnp.int32)
+        capa_ref[0] = jnp.where(rx_win, amp, capa_ref[0])
+        capd_ref[0] = jnp.where(rx_win, dist + t_rx, capd_ref[0])
+        nb_ref[0] = nb_ref[0] + env_b.astype(jnp.int32)
+
+        # Specular reflect + algebraic s-pol Fresnel (see module docstring):
+        # w = d.n; sin(theta) = sqrt(1 - w^2), cos(theta) = |w|.
+        w = dx * nx + dy * ny + dz * nz
+        rdx = dx - 2.0 * w * nx
+        rdy = dy - 2.0 * w * ny
+        rdz = dz - 2.0 * w * nz
+        aw = jnp.abs(w)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - aw * aw, 0.0))
+        sr = (n2 * sin_t) / n1
+        cos_i = jnp.sqrt(jnp.maximum(1.0 - sr * sr, 0.0))
+        num = n2 * cos_i - n1 * aw
+        den = n2 * cos_i + n1 * aw
+        den_ok = den != 0.0
+        ratio = num / jnp.where(den_ok, den, 1.0)
+        fres = jnp.where((sr <= 1.0) & den_ok, jnp.minimum(ratio * ratio, 1.0), 0.0)
+
+        t_adv = jnp.where(env_b, t_env, 0.0)
+        o_s[0] = jnp.where(env_b, ox + dx * t_adv, jnp.float32(_DEAD))
+        o_s[1] = jnp.where(env_b, oy + dy * t_adv, jnp.float32(_DEAD))
+        o_s[2] = jnp.where(env_b, oz + dz * t_adv, jnp.float32(_DEAD))
+        d_s[0] = jnp.where(env_b, rdx, dx)
+        d_s[1] = jnp.where(env_b, rdy, dy)
+        d_s[2] = jnp.where(env_b, rdz, dz)
+        amp_s[:] = jnp.where(env_b, amp * fres, amp)
+        dist_s[:] = dist + t_adv
+        alive_s[:] = env_b.astype(jnp.float32)
+        return 0
+
+    lax.fori_loop(0, max_bounces, bounce_body, 0)
+
+
+@partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret"))
+def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
+                       stream=False, k_spec=_K_SPEC, interpret=False):
+    """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
+    (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
+    shape (tiles, sub, 128)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tiles = dT.shape[1]
+    plane = lambda dt: jax.ShapeDtypeStruct((tiles, sub, 128), dt)
+    out_spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sp = lambda: pltpu.VMEM((sub, 128), jnp.float32)
+    scratch = [
+        pltpu.VMEM((3, sub, 128), jnp.float32),  # o
+        pltpu.VMEM((3, sub, 128), jnp.float32),  # d
+        pltpu.VMEM((3, sub, 128), jnp.float32),  # inv d
+        sp(), sp(), sp(), sp(),  # t, nx, ny, nz
+        sp(), sp(), sp(),  # amp, dist, alive
+        pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
+        pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((8, PALLAS_BLOCK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ]
+        trif_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
+                stream=stream, k_spec=k_spec),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodef
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nodei
+            pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            trif_spec,
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            plane(jnp.int32),
+            plane(jnp.float32),
+            plane(jnp.float32),
+            plane(jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scal, nodef, nodei, dT, trif)
+
+
+class FusedTracer:
+    """Callable fused tracer bound to one scene's BVH.
+
+    fused(directions (N, 3), tx (3,), rx (3,), rx_radius, n1, n2)
+      -> rfx.tracer.TraceResult (captured, amplitude, distance, num_bounces,
+         path_vertices=None), each field (N,).
+    """
+
+    def __init__(self, flat: FlatBVH, *, max_bounces: int,
+                 tile_rays: int = PALLAS_TILE_RAYS, k_spec: int = _K_SPEC,
+                 interpret: bool = False, force_stream: bool = False):
+        if 128 % flat.leaf_size or flat.leaf_size < 16:
+            raise ValueError("fused tracer needs leaf_size in {16,32,64,128}")
+        self.stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
+        if self.stream and flat.leaf_size != PALLAS_BLOCK:
+            raise ValueError(
+                f"streaming needs leaf_size={PALLAS_BLOCK} (got {flat.leaf_size})"
+            )
+        if tile_rays % 128:
+            raise ValueError("tile_rays must be a multiple of 128")
+        self.nodef, self.nodei, self.trif = _pack_bvh(flat)
+        if self.stream:
+            self.trif = jnp.pad(self.trif, ((0, 0), (0, 0), (0, 128 - 16)))
+        self.leaf = flat.leaf_size
+        self.tile_rays = tile_rays
+        self.max_bounces = max_bounces
+        self.k_spec = k_spec
+        self.interpret = interpret
+
+    def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0):
+        n = directions.shape[0]
+        pad = (-n) % self.tile_rays
+        d = directions.astype(jnp.float32)
+        if pad:
+            # Padding rays point straight up from the TX; their results are
+            # sliced off below (even a capture would be discarded).
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (pad, 3))]
+            )
+        m = d.shape[0]
+        sub = self.tile_rays // 128
+        tiles = m // self.tile_rays
+        dT = d.T.reshape(3, tiles, sub, 128)
+        scal = jnp.zeros((16,), jnp.float32)
+        scal = scal.at[0:3].set(jnp.asarray(tx_pos, jnp.float32))
+        scal = scal.at[3:6].set(jnp.asarray(rx_pos, jnp.float32))
+        r = jnp.asarray(rx_radius, jnp.float32)
+        scal = scal.at[6].set(r * r)
+        scal = scal.at[7].set(jnp.asarray(n1, jnp.float32))
+        scal = scal.at[8].set(jnp.asarray(n2, jnp.float32))
+        capt, capa, capd, nb = fused_trace_planes(
+            self.nodef, self.nodei, self.trif, dT, scal,
+            sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
+            stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
+        )
+        from rfx.tracer import TraceResult
+
+        return TraceResult(
+            captured=capt.reshape(m)[:n].astype(bool),
+            amplitude=capa.reshape(m)[:n],
+            distance=capd.reshape(m)[:n],
+            num_bounces=nb.reshape(m)[:n],
+        )
+
+
+def make_fused_tracer(flat_or_mesh, *, max_bounces: int, **kwargs) -> FusedTracer:
+    """Build a FusedTracer from a FlatBVH or a TriangleMesh (builds the BVH
+    with the same leaf-size policy as make_pallas_env_hit: 16 for
+    VMEM-resident meshes, 128 for >512k-padded-tri HBM-streaming ones)."""
+    if isinstance(flat_or_mesh, FlatBVH):
+        flat = flat_or_mesh
+    else:
+        big = flat_or_mesh.num_faces > 0.75 * STREAM_TRI_THRESHOLD
+        flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK if big else PALLAS_LEAF)
+        if not big and flat.n_padded_tris > STREAM_TRI_THRESHOLD:
+            flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK)
+    return FusedTracer(flat, max_bounces=max_bounces, **kwargs)

@@ -1,0 +1,75 @@
+"""Fused multi-bounce megakernel: interpret-mode parity with the scan-path
+tracer (compiled-mode parity runs on real TPU via bench.py's prologue and the
+opt-in RFX_TPU_TESTS cases in test_tpu_compiled.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rfx import sampler
+from rfx.geometry import make_terrain
+from rfx.ops.pallas_fused import make_fused_tracer
+from rfx.tracer import Scene, trace_to_rx
+
+
+def _assert_trace_match(ref, fused_out):
+    capt, amp, dist = fused_out.captured, fused_out.amplitude, fused_out.distance
+    assert int(ref.captured.sum()) > 0  # the workload captures something
+    assert bool(jnp.all(ref.captured == capt))
+    assert bool(jnp.all(ref.num_bounces == fused_out.num_bounces))
+    m = np.asarray(ref.captured)
+    assert np.allclose(
+        np.asarray(ref.amplitude)[m], np.asarray(amp)[m], rtol=2e-5, atol=1e-7
+    )
+    assert np.allclose(
+        np.asarray(ref.distance)[m], np.asarray(dist)[m], rtol=1e-5, atol=1e-4
+    )
+
+
+def test_fused_interpret_matches_scan_tracer():
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 2048, 3
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(4), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    ref = trace_to_rx(scene, tx, dirs, rx, 1.0, max_bounces=bounces, rx_mode="analytic")
+    ft = make_fused_tracer(mesh, max_bounces=bounces, interpret=True)
+    _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
+
+
+def test_fused_interpret_nonaligned_batch_and_materials():
+    """Tile padding (N not a multiple of tile_rays) is sliced off, and the
+    n1/n2 material scalars reach the in-kernel Fresnel."""
+    mesh = make_terrain(grid=12, extent=24.0, seed=9)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 700, 2
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(1), n)
+    tx = jnp.asarray([1.0, -2.0, 7.0], jnp.float32)
+    rx = jnp.asarray([-4.0, 3.0, 5.0], jnp.float32)
+
+    ref = trace_to_rx(
+        scene, tx, dirs, rx, 1.5, max_bounces=bounces, rx_mode="analytic",
+        n1=3.0, n2=1.2,
+    )
+    ft = make_fused_tracer(mesh, max_bounces=bounces, interpret=True, tile_rays=256)
+    _assert_trace_match(ref, ft(dirs, tx, rx, 1.5, n1=3.0, n2=1.2))
+
+
+def test_fused_interpret_streaming_layout():
+    """HBM-streaming triangle layout (leaf=128 blocks, DMA per drain) through
+    the fused bounce loop."""
+    from rfx.bvh import build_bvh
+
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 1024, 2
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(7), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    ref = trace_to_rx(scene, tx, dirs, rx, 1.0, max_bounces=bounces, rx_mode="analytic")
+    flat = build_bvh(mesh, leaf_size=128)
+    ft = make_fused_tracer(flat, max_bounces=bounces, interpret=True, force_stream=True)
+    _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
