@@ -51,11 +51,17 @@ def main():
 
         sys.path.insert(0, os.path.dirname(__file__))
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-        from test_tpu_compiled import run_compiled_gradient_checks, run_compiled_parity_checks
+        from test_tpu_compiled import (
+            run_compiled_fused_checks,
+            run_compiled_gradient_checks,
+            run_compiled_parity_checks,
+        )
 
         ncap_parity = run_compiled_parity_checks()
         assert ncap_parity > 0
         print(f"# compiled-mode parity checks passed (captured {ncap_parity})", flush=True)
+        ncap_fused = run_compiled_fused_checks()
+        print(f"# compiled-mode fused-kernel parity passed (captured {ncap_fused})", flush=True)
         ngrad = run_compiled_gradient_checks()
         print(f"# compiled-mode gradient FD checks passed ({ngrad})", flush=True)
 
@@ -68,7 +74,6 @@ def main():
     # comparable triangle count (32k).
     mesh = make_terrain(grid=128, extent=60.0, seed=0)
     scene = Scene.from_mesh(mesh)
-    env_hit = make_env_intersector("pallas", mesh=mesh)
     scene_name = f"terrain({mesh.num_faces} tris)"
 
     tx = jnp.asarray([10.0, 0.0, 25.0], jnp.float32)
@@ -79,50 +84,48 @@ def main():
     # way a production pipeline would (back-to-back batches); every trace is
     # full device work on a distinct TX height so nothing is reused.
 
+    # Flagship path = the facade's default on TPU: the fused multi-bounce
+    # megakernel (rfx.ops.pallas_fused — whole bounce loop in VMEM) feeding
+    # the MXU histogram binning. Parity vs the scan tracer is re-verified in
+    # the prologue above on every recorded run.
+    from rfx.ops.pallas_fused import make_fused_tracer
+
+    ft = make_fused_tracer(mesh, max_bounces=max_bounces)
+
     @jax.jit
-    def run(vertices, faces, tx_pos, rx_pos, directions):
-        def one(i, acc):
+    def run(tx_pos, rx_pos, directions):
+        s = jnp.float32(0.0)
+        ncap = jnp.int32(0)
+        for i in range(reps):
             txi = tx_pos + jnp.asarray([0.0, 0.0, 1.0], jnp.float32) * i
-            result = trace_to_rx(
-                Scene(vertices, faces), txi, directions, rx_pos, 1.0,
-                max_bounces=max_bounces, rx_mode="analytic", env_hit=env_hit,
-            )
+            result = ft(directions, txi, rx_pos, 1.0)
             ir = cir_from_trace(
                 result, tx_power=1.0, num_rays=n_rays, nbins=nbins,
                 light_speed_mps=2.998e8, sample_rate_hz=100e9,
             )
-            return acc + ir.sum(), acc * 0 + result.captured.sum()
-
-        s = jnp.float32(0.0)
-        ncap = jnp.int32(0)
-        for i in range(reps):
-            si, ci = one(i, jnp.float32(0.0))
-            s = s + si
-            ncap = ncap + ci
+            s = s + ir.sum()
+            ncap = ncap + result.captured.sum()
         return s, ncap
 
     # Warm-up compile + one fully synced execution.
-    s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+    s, ncap = run(tx, rx, dirs)
     assert float(s) > 0 and int(ncap) > 0, "benchmark trace captured nothing"
 
     # Per-bounce alive fractions for the roofline model (one extra trace).
     @jax.jit
-    def bounce_stats(vertices, faces, tx_pos, rx_pos, directions):
-        r = trace_to_rx(
-            Scene(vertices, faces), tx_pos, directions, rx_pos, 1.0,
-            max_bounces=max_bounces, rx_mode="analytic", env_hit=env_hit,
-        )
+    def bounce_stats(tx_pos, rx_pos, directions):
+        r = ft(directions, tx_pos, rx_pos, 1.0)
         # alive entering bounce b = rays still bouncing after b env hits
         return jnp.stack(
             [jnp.mean((r.num_bounces >= b).astype(jnp.float32)) for b in range(max_bounces)]
         )
 
-    alive_frac = np.asarray(bounce_stats(scene.vertices, scene.faces, tx, rx, dirs))
+    alive_frac = np.asarray(bounce_stats(tx, rx, dirs))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        s, ncap = run(scene.vertices, scene.faces, tx, rx, dirs)
+        s, ncap = run(tx, rx, dirs)
         _ = float(s)  # force real completion through the relay
         times.append(time.perf_counter() - t0)
 

@@ -182,8 +182,9 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         ny_s[:] = jnp.concatenate(ny_rows, axis=0)
         nz_s[:] = jnp.concatenate(nz_rows, axis=0)
 
-    def box_node_hit(nk):
-        """Per-ray slab test + any() reduce (see pallas_trace.box_node_hit)."""
+    def box_node_mask(nk):
+        """Per-ray slab test -> (sub, 128) bool hit mask (no reduce; the
+        caller packs masks from several nodes into one scalar reduce)."""
         t_best = t_s[:]
         cx = nodef_ref[0, nk]
         cy = nodef_ref[1, nk]
@@ -208,11 +209,37 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             jnp.maximum(loz, hiz),
         )
         box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= t_min)
-        return jnp.any(box_hit)
+        return box_hit
+
+    def packed_hits(node):
+        """Test k_spec speculative nodes with k_spec/2 scalar reduces instead
+        of k_spec: pack two nodes' 0/1 masks into disjoint f32 count fields
+        (node A at 1, node B at 2048) and lane-sum once. Per-field counts are
+        <= sub*128 = 1024 < 2048, so the fields stay exact in the f32
+        mantissa (max total 1024 + 1024*2048 = 2^21 + 2^10 < 2^24) and unpack
+        exactly with one floor-divide. The walk is reduce-latency-bound (the
+        scalar round-trip per node test dominates the slab math), so halving
+        the reduce count is the main lever on divergent-tile walks. f32
+        sum-reduce is used (not i32/bit ops): it is the one cross-lane
+        reduction Mosaic demonstrably handles well in this kernel."""
+        hits = []
+        base = jnp.float32(2048.0)
+        for k0 in range(0, k_spec, 2):
+            m0 = box_node_mask(node + k0)
+            if k0 + 1 < k_spec:
+                m1 = box_node_mask(node + k0 + 1)
+                packed = m0.astype(jnp.float32) + m1.astype(jnp.float32) * base
+                tot = jnp.sum(packed)
+                f1 = jnp.floor(tot / base)
+                hits.append(tot - f1 * base > 0.0)
+                hits.append(f1 > 0.0)
+            else:
+                hits.append(jnp.sum(m0.astype(jnp.float32)) > 0.0)
+        return hits
 
     def walk_body(state):
         node, head, tail = state
-        hits = [box_node_hit(node + k) for k in range(k_spec)]
+        hits = packed_hits(node)
         metas = [(nodei_ref[0, node + k], nodei_ref[1, node + k]) for k in range(k_spec)]
         cur = node
         for k in range(k_spec):
@@ -261,7 +288,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         ok = jnp.abs(v) > eps
         return jnp.where(ok, 1.0 / jnp.where(ok, v, 1.0), big)
 
-    def bounce_body(b, _):
+    def bounce_body(b):
         # Reset walk accumulators.
         t_s[:] = jnp.full((sub, 128), _MISS, jnp.float32)
         nx_s[:] = jnp.zeros((sub, 128), jnp.float32)
@@ -272,12 +299,11 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         i_s[1] = inv_plane(d_s[1])
         i_s[2] = inv_plane(d_s[2])
 
-        # Dead-tile early exit: if no ray in the tile is alive, skip the walk
-        # entirely (the while loop below starts past the last node).
-        alive_any = jnp.max(alive_s[:]) > 0.5
-        node0 = jnp.where(alive_any, jnp.int32(0), jnp.int32(n_nodes))
+        # The bounce while_loop's condition guarantees at least one alive ray,
+        # so the walk always engages here.
         _, head, tail = lax.while_loop(
-            lambda s: s[0] < n_nodes, walk_body, (node0, jnp.int32(0), jnp.int32(0))
+            lambda s: s[0] < n_nodes, walk_body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0))
         )
         lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
 
@@ -337,9 +363,17 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         amp_s[:] = jnp.where(env_b, amp * fres, amp)
         dist_s[:] = dist + t_adv
         alive_s[:] = env_b.astype(jnp.float32)
-        return 0
+        return b + 1
 
-    lax.fori_loop(0, max_bounces, bounce_body, 0)
+    # Whole-tile early exit: a dead ray never revives, so once every ray in
+    # the tile is dead the remaining bounces cost nothing (measured: with a
+    # fori_loop, bounces 2-3 at 2.7%/0.3% alive still paid ~13/7 ms of
+    # physics-fold + loop overhead across the mostly-dead grid).
+    lax.while_loop(
+        lambda b: (b < max_bounces) & (jnp.max(alive_s[:]) > 0.5),
+        bounce_body,
+        jnp.int32(0),
+    )
 
 
 @partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret"))
@@ -406,9 +440,17 @@ class FusedTracer:
          path_vertices=None), each field (N,).
     """
 
+    # Measured on the flagship workload (scripts/exp_fused_sweep.py, TPU v5e):
+    # 1024-ray tiles beat 2048 (87.4 vs 83.9 Mrays/s) and 512/256 fall off a
+    # cliff (70/48) — tighter tiles walk smaller subtrees until per-tile fixed
+    # cost dominates. k_spec=8 beats 4 and 16 at every tile size.
+    DEFAULT_TILE_RAYS = 1024
+
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
-                 tile_rays: int = PALLAS_TILE_RAYS, k_spec: int = _K_SPEC,
+                 tile_rays: int | None = None, k_spec: int = _K_SPEC,
                  interpret: bool = False, force_stream: bool = False):
+        if tile_rays is None:
+            tile_rays = self.DEFAULT_TILE_RAYS
         if 128 % flat.leaf_size or flat.leaf_size < 16:
             raise ValueError("fused tracer needs leaf_size in {16,32,64,128}")
         self.stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
@@ -428,6 +470,9 @@ class FusedTracer:
         self.interpret = interpret
 
     def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0):
+        """Traceable (jit-safe) end to end: plane packing, the fused kernel,
+        unpacking. Callers may wrap this (plus IR binning) in one jit so the
+        whole CIR is a single device program."""
         n = directions.shape[0]
         pad = (-n) % self.tile_rays
         d = directions.astype(jnp.float32)

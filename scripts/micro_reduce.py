@@ -12,7 +12,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB, M, K = 8, 200_000, 8
+SUB, M, K = 8, 50_000, 8
 
 
 def mk(style):

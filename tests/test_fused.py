@@ -57,6 +57,33 @@ def test_fused_interpret_nonaligned_batch_and_materials():
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.5, n1=3.0, n2=1.2))
 
 
+def test_facade_fused_path_matches_scan_cir():
+    """Tracer(backend='pallas') routes compute_cir through the fused
+    megakernel; the IR must match the scan path's (backend='bvh') bin for
+    bin. Interpret mode stands in for the compiled TPU path (which the bench
+    prologue re-verifies on hardware)."""
+    from rfx.api import Tracer
+
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    n = 4096
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(2), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    tr_fused = Tracer(mesh, max_bounces=3, tx_num_rays=n, backend="pallas",
+                      interpret=True)
+    assert tr_fused._fused is not None
+    paths, ir_fused = tr_fused.compute_cir(tx, 1.0, rx, 1.0, directions=dirs)
+    assert paths == []
+
+    tr_scan = Tracer(mesh, max_bounces=3, tx_num_rays=n, backend="bvh")
+    assert tr_scan._fused is None
+    _, ir_scan = tr_scan.compute_cir(tx, 1.0, rx, 1.0, directions=dirs)
+
+    assert ir_fused.sum() > 0
+    assert np.allclose(ir_fused, ir_scan, rtol=1e-4, atol=1e-9)
+
+
 def test_fused_interpret_streaming_layout():
     """HBM-streaming triangle layout (leaf=128 blocks, DMA per drain) through
     the fused bounce loop."""

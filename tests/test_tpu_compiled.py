@@ -126,6 +126,47 @@ def run_compiled_parity_checks():
     return int(cb.sum())
 
 
+def run_compiled_fused_checks():
+    """Fused megakernel vs the scan-path tracer, both compiled on TPU.
+
+    The fused kernel (rfx.ops.pallas_fused) is the facade's default forward
+    path on TPU; this demands exact capture/num_bounces agreement and
+    float-tolerance amplitude/distance agreement against the per-query scan
+    loop at 64k rays x 4 bounces. Called by bench.py's prologue. Returns the
+    capture count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rfx import sampler
+    from rfx.geometry import make_terrain
+    from rfx.ops.intersect import make_env_intersector
+    from rfx.ops.pallas_fused import make_fused_tracer
+    from rfx.tracer import Scene, trace_to_rx
+
+    mesh = make_terrain(grid=128, extent=60.0, seed=0)
+    scene = Scene.from_mesh(mesh)
+    tx = jnp.asarray([10.0, 0.0, 25.0], jnp.float32)
+    rx = jnp.asarray([-10.0, 0.0, 8.0], jnp.float32)
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(0), 65536)
+    env_hit = make_env_intersector("pallas", mesh=mesh)
+    ref = trace_to_rx(scene, tx, dirs, rx, 1.0, max_bounces=4,
+                      rx_mode="analytic", env_hit=env_hit)
+    out = make_fused_tracer(mesh, max_bounces=4)(dirs, tx, rx, 1.0)
+    rc = np.asarray(ref.captured)
+    oc = np.asarray(out.captured)
+    assert (rc == oc).all(), f"fused capture mismatch: {int((rc != oc).sum())} rays"
+    assert (np.asarray(ref.num_bounces) == np.asarray(out.num_bounces)).all(), (
+        "fused bounce-count mismatch"
+    )
+    assert np.allclose(np.asarray(ref.amplitude)[rc], np.asarray(out.amplitude)[rc],
+                       rtol=2e-5, atol=1e-7), "fused amplitude mismatch"
+    assert np.allclose(np.asarray(ref.distance)[rc], np.asarray(out.distance)[rc],
+                       rtol=1e-5, atol=1e-4), "fused distance mismatch"
+    assert int(rc.sum()) > 0, "fused parity workload captured nothing"
+    return int(rc.sum())
+
+
 def run_compiled_gradient_checks():
     """FD-verify gradients through the COMPILED Pallas backend on the TPU.
 
@@ -222,6 +263,16 @@ def test_compiled_pallas_matches_brute_on_tpu():
         pytest.skip("no TPU device visible")
     ncap = run_compiled_parity_checks()
     assert ncap > 0, "parity workload captured nothing (degenerate test)"
+
+
+@requires_tpu
+def test_compiled_fused_matches_scan_on_tpu():
+    import jax
+
+    jax.config.update("jax_platforms", "")  # undo conftest's CPU pin
+    if not _tpu_available():
+        pytest.skip("no TPU device visible")
+    assert run_compiled_fused_checks() > 0
 
 
 @requires_tpu
