@@ -137,6 +137,44 @@ def main():
     out["seconds_per_trace"] = round(best, 4)
     out["mrays_per_s"] = round(n_rays / best / 1e6, 2)
 
+    # ---- fused megakernel through the same HBM-streaming layout ----
+    from rfx.ops.pallas_fused import FusedTracer
+
+    ft = FusedTracer(flat, max_bounces=max_bounces)
+    assert ft.stream, "fused tracer did not select streaming at this size"
+
+    @jax.jit
+    def run_fused(directions, tx_pos, rx_pos):
+        s = jnp.float32(0.0)
+        ncap = jnp.int32(0)
+        for i in range(reps):
+            txi = tx_pos + jnp.asarray([0.0, 0.0, 1.0], jnp.float32) * i
+            r = ft(directions, txi, rx_pos, 2.0)
+            ir = cir_from_trace(
+                r, tx_power=1.0, num_rays=n_rays, nbins=nbins,
+                light_speed_mps=2.998e8, sample_rate_hz=100e9,
+            )
+            s = s + ir.sum()
+            ncap = ncap + r.captured.sum()
+        return s, ncap
+
+    s, ncap_f = run_fused(dirs, tx, rx)
+    assert float(s) > 0 and int(ncap_f) > 0, "fused large-mesh trace captured nothing"
+    out["fused_captured"] = int(ncap_f)
+    # same workload, same capture rule: allow only f32 boundary flips
+    assert abs(int(ncap_f) - int(ncap)) <= max(4, int(ncap) // 200), (
+        f"fused vs scan capture divergence: {int(ncap_f)} vs {int(ncap)}"
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, _nc = run_fused(dirs, tx, rx)
+        _ = float(s)
+        times.append(time.perf_counter() - t0)
+    best_f = min(times) / reps
+    out["fused_seconds_per_trace"] = round(best_f, 4)
+    out["fused_mrays_per_s"] = round(n_rays / best_f / 1e6, 2)
+
     with open("BENCH_LARGE_r03.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
