@@ -62,7 +62,8 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                   capt_ref, capa_ref, capd_ref, nb_ref,
                   o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s,
                   tcap_ref, agenda_ref, *tri_scratch,
-                  sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC):
+                  sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
+                  pack=True):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -222,8 +223,12 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         the reduce count is the main lever on divergent-tile walks. f32
         sum-reduce is used (not i32/bit ops): it is the one cross-lane
         reduction Mosaic demonstrably handles well in this kernel."""
+        lanes = sub * 128
+        baseval = float(2 ** (lanes.bit_length()))  # smallest pow2 > lanes
+        if not pack or lanes * baseval > 2 ** 24:  # exactness bound
+            return [jnp.any(box_node_mask(node + k)) for k in range(k_spec)]
         hits = []
-        base = jnp.float32(2048.0)
+        base = jnp.float32(baseval)
         for k0 in range(0, k_spec, 2):
             m0 = box_node_mask(node + k0)
             if k0 + 1 < k_spec:
@@ -376,9 +381,9 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret"))
+@partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret", "pack"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
-                       stream=False, k_spec=_K_SPEC, interpret=False):
+                       stream=False, k_spec=_K_SPEC, interpret=False, pack=True):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
     shape (tiles, sub, 128)."""
@@ -408,7 +413,7 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
-                stream=stream, k_spec=k_spec),
+                stream=stream, k_spec=k_spec, pack=pack),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -448,7 +453,8 @@ class FusedTracer:
 
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
-                 interpret: bool = False, force_stream: bool = False):
+                 interpret: bool = False, force_stream: bool = False,
+                 pack: bool = True):
         if tile_rays is None:
             tile_rays = self.DEFAULT_TILE_RAYS
         if 128 % flat.leaf_size or flat.leaf_size < 16:
@@ -467,6 +473,7 @@ class FusedTracer:
         self.tile_rays = tile_rays
         self.max_bounces = max_bounces
         self.k_spec = k_spec
+        self.pack = pack
         self.interpret = interpret
 
     def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0):
@@ -497,6 +504,7 @@ class FusedTracer:
             self.nodef, self.nodei, self.trif, dT, scal,
             sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
+            pack=self.pack,
         )
         from rfx.tracer import TraceResult
 
