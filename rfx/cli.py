@@ -120,7 +120,7 @@ def cmd_cir(args) -> int:
                 with timer.phase("chunk"):
                     p, partial_ir = tracer.compute_cir(
                         cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
-                        directions=dirs,
+                        directions=dirs, record_paths=bool(args.out),
                     )
                 paths_holder["paths"] = p
                 return {"ir": partial_ir}
@@ -131,8 +131,12 @@ def cmd_cir(args) -> int:
             paths = paths_holder.get("paths", [])
         else:
             with timer.phase("trace"):
+                # The CLI writes a scene viewer (--out), whose payload is the
+                # received-path polylines — so it opts into path recording
+                # (compute_cir's library default is False; see api.py).
                 paths, ir = tracer.compute_cir(
-                    cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius
+                    cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
+                    record_paths=bool(args.out),
                 )
     dt = time.perf_counter() - t0
     with timer.phase("metric"):

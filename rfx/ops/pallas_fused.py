@@ -63,7 +63,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                   o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s,
                   tcap_ref, agenda_ref, *tri_scratch,
                   sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
-                  pack=True):
+                  pack=False):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -218,11 +218,17 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         (node A at 1, node B at 2048) and lane-sum once. Per-field counts are
         <= sub*128 = 1024 < 2048, so the fields stay exact in the f32
         mantissa (max total 1024 + 1024*2048 = 2^21 + 2^10 < 2^24) and unpack
-        exactly with one floor-divide. The walk is reduce-latency-bound (the
-        scalar round-trip per node test dominates the slab math), so halving
-        the reduce count is the main lever on divergent-tile walks. f32
-        sum-reduce is used (not i32/bit ops): it is the one cross-lane
-        reduction Mosaic demonstrably handles well in this kernel."""
+        exactly with one floor-divide. f32 sum-reduce is used (not i32/bit
+        ops): it is the one cross-lane reduction Mosaic demonstrably handles
+        well in this kernel.
+
+        Measured on hardware (scripts/exp_r3_staged.py, TPU v5e, flagship
+        workload): pack=True LOSES — 83.0 vs 90.2 Mrays/s unpacked. The
+        extra float mul/floor/compare per pair costs more than the saved
+        `any` reduce, i.e. the walk is less reduce-latency-bound than the
+        interpret-mode model predicted. Kept (default off) because the
+        packing trick is load-bearing documentation for future reduce-bound
+        kernels and is parity-tested both ways in tests/test_fused.py."""
         lanes = sub * 128
         baseval = float(2 ** (lanes.bit_length()))  # smallest pow2 > lanes
         if not pack or lanes * baseval > 2 ** 24:  # exactness bound
@@ -383,7 +389,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
 @partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret", "pack"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
-                       stream=False, k_spec=_K_SPEC, interpret=False, pack=True):
+                       stream=False, k_spec=_K_SPEC, interpret=False, pack=False):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
     shape (tiles, sub, 128)."""
@@ -445,16 +451,18 @@ class FusedTracer:
          path_vertices=None), each field (N,).
     """
 
-    # Measured on the flagship workload (scripts/exp_fused_sweep.py, TPU v5e):
-    # 1024-ray tiles beat 2048 (87.4 vs 83.9 Mrays/s) and 512/256 fall off a
-    # cliff (70/48) — tighter tiles walk smaller subtrees until per-tile fixed
-    # cost dominates. k_spec=8 beats 4 and 16 at every tile size.
+    # Measured on the flagship workload (scripts/exp_fused_sweep.py +
+    # exp_r3_staged.py, TPU v5e): 1024-ray tiles beat 2048 (87.4 vs 83.9
+    # Mrays/s) and 512/256 fall off a cliff (70/48) — tighter tiles walk
+    # smaller subtrees until per-tile fixed cost dominates. k_spec=8 beats 4
+    # and 16 at every tile size, and pack=False beats pack=True (90.2 vs
+    # 83.0; see packed_hits docstring).
     DEFAULT_TILE_RAYS = 1024
 
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
                  interpret: bool = False, force_stream: bool = False,
-                 pack: bool = True):
+                 pack: bool = False):
         if tile_rays is None:
             tile_rays = self.DEFAULT_TILE_RAYS
         if 128 % flat.leaf_size or flat.leaf_size < 16:
