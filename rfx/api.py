@@ -176,6 +176,14 @@ class Tracer:
         (240 MB at 5M rays x 4 bounces — the reference round-trips that much
         every call, ref tracer.py:67-84; we only pay it on request). With
         record_paths=False the returned `paths` list is empty.
+
+        Performance cliff (documented): the fused megakernel forward path is
+        only used when backend='pallas', rx_mode='analytic', AND
+        record_paths=False. record_paths=True, icosphere parity mode, or
+        differentiating through the trace all fall back to the ~35%-slower
+        per-query scan tracer (and record_paths additionally materializes the
+        path buffer). For viz, prefer a second small-ray-count record_paths
+        call over recording paths on the full batch.
         """
         import time
 

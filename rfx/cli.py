@@ -35,6 +35,9 @@ def _add_common(p: argparse.ArgumentParser, cfg):
     p.add_argument("--backend", type=str, default=None, choices=["auto", "brute", "bvh", "pallas"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--out", type=str, default="viz/scene.html")
+    p.add_argument("--no-viz", action="store_true",
+                   help="skip the scene viewer output (and, for cir, the small "
+                        "secondary path-recording trace that feeds it)")
     p.add_argument("--serve", action="store_true", help="serve the scene on :8000 (blocking)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
@@ -111,39 +114,53 @@ def cmd_cir(args) -> int:
             from rfx.utils.checkpoint import run_chunked
 
             n_chunk = cfg.num_rays // args.chunks
-            paths_holder = {}
 
             def compute_chunk(cid):
                 dirs = _sampler.sphere_directions(
                     _jax.random.fold_in(_jax.random.PRNGKey(cfg.seed), cid), n_chunk
                 )
                 with timer.phase("chunk"):
-                    p, partial_ir = tracer.compute_cir(
+                    _, partial_ir = tracer.compute_cir(
                         cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
-                        directions=dirs, record_paths=bool(args.out),
+                        directions=dirs,
                     )
-                paths_holder["paths"] = p
                 return {"ir": partial_ir}
 
             resume_dir = args.resume_dir or (args.out + ".chunks")
             acc = run_chunked(compute_chunk, args.chunks, resume_dir)
             ir = acc["ir"]
-            paths = paths_holder.get("paths", [])
         else:
             with timer.phase("trace"):
-                # The CLI writes a scene viewer (--out), whose payload is the
-                # received-path polylines — so it opts into path recording
-                # (compute_cir's library default is False; see api.py).
                 paths, ir = tracer.compute_cir(
                     cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
-                    record_paths=bool(args.out),
                 )
     dt = time.perf_counter() - t0
     with timer.phase("metric"):
         dbm = tracer.rx_power_dbm(ir, cfg.carrier_hz)
     print(f"traced {cfg.num_rays} rays x {cfg.max_bounces} bounces in {dt:.3f}s "
           f"({cfg.num_rays / dt / 1e6:.1f} Mrays/s)")
-    print(f"received paths: {len(paths)}  |  RX power: {float(dbm):.2f} dBm")
+
+    # Path polylines for the viewer come from a SMALL secondary trace (capped
+    # ray count, record_paths=True) so the main trace above always takes the
+    # fused fast path and never materializes the (B, N, 3) path buffer
+    # (round-3 advisor finding: the old record_paths=bool(--out) forced the
+    # scan fallback on every default CLI run). This also restores polylines
+    # for chunked/resumed runs, where no chunk may even execute on resume.
+    paths = []
+    if not args.no_viz:
+        from rfx import sampler as _sampler2
+        import jax as _jax2
+
+        n_viz = min(cfg.num_rays, 262_144)
+        viz_dirs = _sampler2.sphere_directions(
+            _jax2.random.fold_in(_jax2.random.PRNGKey(cfg.seed), 7919), n_viz
+        )
+        with timer.phase("viz-trace"):
+            paths, _ = tracer.compute_cir(
+                cfg.tx_pos, cfg.tx_power, cfg.rx_pos, cfg.rx_radius,
+                directions=viz_dirs, record_paths=True, max_paths=2000,
+            )
+    print(f"received paths (viz subsample): {len(paths)}  |  RX power: {float(dbm):.2f} dBm")
     if args.profile:
         print(f"profiler trace written to {args.profile}")
         print(timer.report())
@@ -161,14 +178,15 @@ def cmd_cir(args) -> int:
         plt.savefig(args.plot, dpi=120)
         print(f"wrote {args.plot}")
 
-    from rfx.viz import visualize
+    if not args.no_viz:
+        from rfx.viz import visualize
 
-    visualize(
-        mesh=mesh, tx_pos=cfg.tx_pos, rx_pos=cfg.rx_pos, rx_radius=cfg.rx_radius,
-        paths=paths, out_path=args.out, port=args.port, serve=args.serve,
-    )
-    if not args.serve:
-        print(f"wrote {args.out}")
+        visualize(
+            mesh=mesh, tx_pos=cfg.tx_pos, rx_pos=cfg.rx_pos, rx_radius=cfg.rx_radius,
+            paths=paths, out_path=args.out, port=args.port, serve=args.serve,
+        )
+        if not args.serve:
+            print(f"wrote {args.out}")
     return 0
 
 
@@ -214,14 +232,15 @@ def cmd_coverage(args) -> int:
     colors = (np.asarray(cm.viridis(frac))[:, :3] * 255).astype(int)
     pairs = [(grid[i], colors[i]) for i in range(grid.shape[0])]
 
-    from rfx.viz import visualize
+    if not args.no_viz:
+        from rfx.viz import visualize
 
-    visualize(
-        mesh=mesh, tx_pos=cfg.tx_pos, point_color_pairs=pairs,
-        out_path=args.out, port=args.port, serve=args.serve,
-    )
-    if not args.serve:
-        print(f"wrote {args.out}")
+        visualize(
+            mesh=mesh, tx_pos=cfg.tx_pos, point_color_pairs=pairs,
+            out_path=args.out, port=args.port, serve=args.serve,
+        )
+        if not args.serve:
+            print(f"wrote {args.out}")
     if args.save_dbm:
         np.save(args.save_dbm, np.concatenate([grid, dbm[:, None]], axis=1).astype(np.float32))
         print(f"wrote {args.save_dbm}")

@@ -61,7 +61,9 @@ def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, n
 
 @partial(
     jax.jit,
-    static_argnames=("max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft"),
+    static_argnames=(
+        "max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft", "engine"
+    ),
 )
 def coverage_irs(
     scene: Scene,
@@ -82,17 +84,41 @@ def coverage_irs(
     env_hit=None,
     active=None,
     soft: bool = False,
+    engine: str = "auto",
 ):
     """(M, nbins) impulse responses for M receiver spheres from one trace.
 
-    Receivers are processed in vmapped batches of `rx_batch` under lax.map to
-    bound the (B*N) per-receiver intermediates. `soft=True` uses linear-interp
-    delay binning so d(IR)/d(distance) is nonzero (the inverse solver's mode).
+    engine:
+      'map'     — vmapped batches of `rx_batch` receivers under lax.map; each
+                  receiver's histogram is an XLA scatter/one-hot-matmul.
+                  Differentiable; required for soft binning.
+      'batched' — the fused Pallas coverage kernel (rfx.ops.pallas_coverage):
+                  sphere test -> first-capture -> binning -> MXU histogram for
+                  8 receivers per tile, one-hot operands never leave VMEM.
+                  Forward-only, hard binning. ~20x faster at reference scale
+                  (2048 RX x 1M rays).
+      'auto'    — 'batched' on TPU when soft=False, else 'map'.
+
+    `soft=True` uses linear-interp delay binning so d(IR)/d(distance) is
+    nonzero (the inverse solver's mode).
     """
     segs = trace_env(
         scene, tx_pos, directions, max_bounces=max_bounces, n1=n1, n2=n2,
         env_hit=env_hit, active=active,
     )
+    if engine == "auto":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        engine = "batched" if (on_tpu and not soft) else "map"
+    if engine == "batched":
+        if soft:
+            raise ValueError("engine='batched' supports hard binning only")
+        from rfx.ops.pallas_coverage import coverage_hist_pallas
+
+        scaled = segs._replace(amplitude=segs.amplitude * (tx_power / num_rays))
+        return coverage_hist_pallas(
+            scaled, rx_centers, rx_radius, nbins=nbins,
+            light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz,
+        )
     m = rx_centers.shape[0]
     pad = (-m) % rx_batch
     centers = jnp.concatenate([rx_centers, jnp.zeros((pad, 3), rx_centers.dtype)]) if pad else rx_centers

@@ -414,7 +414,7 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
             pltpu.VMEM((8, PALLAS_BLOCK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),
         ]
-        trif_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        trif_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(

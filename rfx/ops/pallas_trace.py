@@ -568,7 +568,7 @@ def _pallas_hit_tiled(nodef, nodei, trif, oT, dT, *, interpret=False, sub=8, lea
             pltpu.VMEM((8, PALLAS_BLOCK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),
         ]
-        trif_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        trif_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(

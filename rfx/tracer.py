@@ -118,6 +118,7 @@ def trace_to_rx(
     env_hit=None,
     record_paths: bool = False,
     active: jnp.ndarray | None = None,
+    warp_quirk_compat: bool = False,
 ) -> TraceResult:
     """Trace N rays from tx_pos; return per-ray capture/amplitude/distance.
 
@@ -125,6 +126,17 @@ def trace_to_rx(
     intersector backend (default: brute-force Moller-Trumbore). `active`
     optionally masks out padding rays (tile-alignment padding never
     contributes).
+
+    `warp_quirk_compat=True` reproduces the reference KERNEL's latent
+    per-iteration `ray_finished` reset (ref kernel.py:58-59; SURVEY.md 2.2):
+    capture does not terminate the ray — it keeps tracing from the RX-sphere
+    surface with the same direction (typically re-capturing at the sphere's
+    exit point), and a later capture OVERWRITES the recorded amplitude/
+    distance with the longer path's values. Each pass-through capture vertex
+    contributes a bend-angle-0 Fresnel factor, exactly as the reference host
+    loop would when walking the overwritten path (ref tracer.py:102-117).
+    Escaped rays re-issue missing queries in the reference — observationally
+    a no-op, so they still die here. Matches oracle.OracleTracer's flag.
     """
     if env_hit is None:
         env_hit = make_env_intersector("brute")
@@ -159,6 +171,9 @@ def trace_to_rx(
         env_bounce = c["alive"] & ~rx_win & env_hit_mask
 
         captured = c["captured"] | rx_win
+        # In default mode rx_win fires at most once per ray (capture kills the
+        # ray); in quirk-compat mode this same overwrite implements the
+        # reference's latest-capture-wins behavior.
         cap_amp = jnp.where(rx_win, c["amp"], c["cap_amp"])
         cap_dist = jnp.where(rx_win, c["dist"] + t_rx, c["cap_dist"])
 
@@ -176,6 +191,19 @@ def trace_to_rx(
         dist = c["dist"] + t_adv
         new_dir = jnp.where(env_bounce[:, None], d_out, c["dir"])
         nb = c["nb"] + env_bounce.astype(jnp.int32)
+        alive_next = env_bounce
+
+        if warp_quirk_compat:
+            # Captured rays pass through the RX surface and keep going: advance
+            # to the hit point (same direction), stay alive, and fold in the
+            # bend-angle-0 Fresnel factor the host loop applies at the
+            # pass-through vertex of any LATER recorded capture.
+            f0 = physics.fresnel_bounce_amplitude(jnp.float32(0.0), n1, n2)
+            rx_pt = c["pos"] + c["dir"] * jnp.where(rx_win, t_rx, 0.0)[:, None]
+            new_pos = jnp.where(rx_win[:, None], rx_pt, new_pos)
+            amp = jnp.where(rx_win, c["amp"] * f0, amp)
+            dist = jnp.where(rx_win, c["dist"] + t_rx, dist)
+            alive_next = env_bounce | rx_win
 
         out = None
         if record_paths:
@@ -189,7 +217,7 @@ def trace_to_rx(
         c2 = dict(
             pos=new_pos,
             dir=new_dir,
-            alive=env_bounce,
+            alive=alive_next,
             amp=amp,
             dist=dist,
             captured=captured,

@@ -63,6 +63,39 @@ def test_coverage_rx_batch_invariance(box_room):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_batched_pallas_engine_matches_map_engine(box_room):
+    """The fused Pallas coverage-histogram kernel (interpret mode on CPU) must
+    reproduce the map engine's per-receiver hard-binned IRs exactly (same
+    binning semantics, f32 sum-order differences only)."""
+    from rfx.ops.pallas_coverage import coverage_hist_pallas
+    from rfx.tracer import trace_env
+
+    dirs = sample_sphere_directions(3000, seed=9)
+    scene = Scene.from_mesh(box_room)
+    # 5 receivers: exercises the R_TILE=8 padding path too
+    centers = jnp.asarray(
+        np.array(
+            [[-10.0, 0.0, 5.0], [0.0, 8.0, 2.0], [7.0, -7.0, 9.0],
+             [12.0, 12.0, 1.0], [0.0, 0.0, 15.0]], np.float32,
+        )
+    )
+    kw = dict(max_bounces=3, nbins=NBINS, num_rays=3000, light_speed_mps=C,
+              sample_rate_hz=RATE, tx_power=2.0)
+    ref = np.asarray(
+        coverage_irs(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+                     centers, jnp.float32(0.8), rx_batch=2, engine="map", **kw)
+    )
+    segs = trace_env(scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs), max_bounces=3)
+    segs = segs._replace(amplitude=segs.amplitude * (2.0 / 3000))
+    got = np.asarray(
+        coverage_hist_pallas(segs, centers, jnp.float32(0.8), nbins=NBINS,
+                             light_speed_mps=C, sample_rate_hz=RATE, interpret=True)
+    )
+    assert got.shape == ref.shape
+    assert (got != 0).any(), "kernel produced an all-zero coverage IR"
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-12)
+
+
 def test_coverage_dbm_fast_matches_exact_shape_and_values(box_room):
     """Phasor fast path tracks the exact metric (documented tolerance: the
     'same'-convolution truncation makes them differ most under destructive

@@ -27,8 +27,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_sharded_cir_matches_single(tmp_path):
+    # No pytest-timeout plugin in the image; the communicate(timeout=240)
+    # below is the real hang guard.
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)

@@ -222,35 +222,79 @@ def run_compiled_gradient_checks():
     )
     checks += 1
 
-    # 2. compiled jit(grad) of the full trace-to-IR loss wrt tx_pos (soft
-    #    binning so delay gradients flow), FD-checked per axis.
+    # 2. compiled tx gradients through the Pallas backend, FD-checked on a
+    #    loss that is LINEAR in the traced outputs (w*distance + u*amplitude).
+    #    The previous round FD-checked sum(ir^2) of the soft-binned CIR and
+    #    failed (BENCH_r03 rc=1, ad=-3.03e8 vs fd=-5.62e8): that loss is
+    #    piecewise-linear with kinks every ~0.2 mm of tx motion (35 paths x
+    #    3 cm bins x path-length sensitivity ~4), so central differences at
+    #    ANY eps average over several slope changes and cannot match the exact
+    #    local AD derivative — scripts/diag_txgrad.py reproduces the identical
+    #    AD value (-3.01e8) and the identical FD instability on CPU with the
+    #    brute intersector, proving the compiled lowering was never wrong.
+    #    A linear functional of (distance, amplitude) has no binning kinks and
+    #    is FD-stable across eps in [3e-4, 3e-3] (scripts/diag_txgrad3.py).
     env_hit_nd = make_env_intersector("pallas", mesh=room)
-
-    @jax.jit
-    def loss_tx(txp):
-        r = trace_to_rx(
-            scene, txp, dirs, rxp, 2.0, max_bounces=2, rx_mode="analytic",
-            env_hit=env_hit_nd,
-        )
-        ir = cir_from_trace(
-            r, tx_power=5.0, num_rays=dirs.shape[0], nbins=512,
-            light_speed_mps=2.998e8, sample_rate_hz=10e9, soft=True,
-        )
-        return jnp.sum(ir * ir) * 1e12
-
+    rngw = np.random.default_rng(7)
+    w = jnp.asarray(rngw.normal(size=(dirs.shape[0],)), jnp.float32)
+    uw = jnp.asarray(rngw.normal(size=(dirs.shape[0],)), jnp.float32)
     tx0 = jnp.asarray([4.0, 3.0, 6.0], jnp.float32)
-    gtx = jax.jit(jax.grad(loss_tx))(tx0)
+
+    def make_loss_smooth(env):
+        @jax.jit
+        def loss_smooth(txp):
+            r = trace_to_rx(
+                scene, txp, dirs, rxp, 2.0, max_bounces=2, rx_mode="analytic",
+                env_hit=env,
+            )
+            cap = r.captured.astype(jnp.float32)
+            return jnp.sum(cap * (w * r.distance + 10.0 * uw * r.amplitude))
+
+        return loss_smooth
+
+    loss_smooth = make_loss_smooth(env_hit_nd)
+    gtx = jax.jit(jax.grad(loss_smooth))(tx0)
     assert np.all(np.isfinite(np.asarray(gtx))), "compiled tx grad non-finite"
     eps = 1e-3
     for a in range(3):
         tp = np.asarray(tx0).copy(); tp[a] += eps
         tm = np.asarray(tx0).copy(); tm[a] -= eps
-        fd = (float(loss_tx(jnp.asarray(tp))) - float(loss_tx(jnp.asarray(tm)))) / (2 * eps)
+        fd = (float(loss_smooth(jnp.asarray(tp))) - float(loss_smooth(jnp.asarray(tm)))) / (2 * eps)
         ga = float(gtx[a])
         assert abs(ga - fd) < 0.08 * max(abs(fd), abs(ga), 1e-3), (
             f"compiled tx grad vs FD on axis {a}: ad={ga} fd={fd}"
         )
         checks += 1
+
+    # 3. the full trace-to-IR loss (soft binning, the kinked one): compiled
+    #    Pallas AD must agree with compiled brute-XLA AD on the same graph —
+    #    a direct cross-implementation check of the Pallas custom-VJP lowering
+    #    that sidesteps the FD curvature problem entirely.
+    def make_loss_ir(env):
+        @jax.jit
+        def loss_ir(txp):
+            r = trace_to_rx(
+                scene, txp, dirs, rxp, 2.0, max_bounces=2, rx_mode="analytic",
+                env_hit=env,
+            )
+            ir = cir_from_trace(
+                r, tx_power=5.0, num_rays=dirs.shape[0], nbins=512,
+                light_speed_mps=2.998e8, sample_rate_hz=10e9, soft=True,
+            )
+            return jnp.sum(ir * ir) * 1e12
+
+        return loss_ir
+
+    g_pallas = np.asarray(jax.jit(jax.grad(make_loss_ir(env_hit_nd)))(tx0))
+    g_brute = np.asarray(
+        jax.jit(jax.grad(make_loss_ir(make_env_intersector("brute", ray_chunk=512))))(tx0)
+    )
+    assert np.all(np.isfinite(g_pallas)), "compiled IR-loss tx grad non-finite"
+    rel = np.abs(g_pallas - g_brute) / np.maximum(np.abs(g_brute), 1e-3)
+    assert float(rel.max()) < 0.03, (
+        f"compiled IR-loss grad pallas vs brute: {g_pallas} vs {g_brute}"
+    )
+    checks += 1
     return checks
 
 
@@ -282,4 +326,4 @@ def test_compiled_gradients_match_fd_on_tpu():
     jax.config.update("jax_platforms", "")  # undo conftest's CPU pin
     if not _tpu_available():
         pytest.skip("no TPU device visible")
-    assert run_compiled_gradient_checks() >= 4
+    assert run_compiled_gradient_checks() >= 5

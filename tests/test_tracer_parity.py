@@ -135,3 +135,45 @@ def test_matmul_binning_matches_scatter():
         a = bin_impulse_response(amp, dist, cap, soft=soft, method="scatter", **kw)
         b = bin_impulse_response(amp, dist, cap, soft=soft, method="matmul", **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rx_mode", ["analytic", "icosphere"])
+def test_warp_quirk_compat_matches_oracle(box_room, rx_mode):
+    """Strict Warp-kernel parity mode: the per-iteration ray_finished reset
+    (ref kernel.py:58-59) means captured rays keep tracing and later captures
+    overwrite; trace_to_rx(warp_quirk_compat=True) must match the oracle's
+    quirk mode bin-for-bin (SURVEY.md 2.2; round-3 VERDICT minor-parity #4)."""
+    dirs = sample_sphere_directions(3000, seed=11)
+    tr = OracleTracer(box_room, C, RATE, WINDOW, 4, rx_mode=rx_mode,
+                      warp_quirk_compat=True)
+    paths_o, ir_o = tr.compute_cir(TX, 1.0, RX, 1.5, dirs)
+    scene = Scene.from_mesh(box_room)
+    result = trace_to_rx(
+        scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+        jnp.asarray(RX, jnp.float32), 1.5, max_bounces=4, rx_mode=rx_mode,
+        warp_quirk_compat=True,
+    )
+    ir_j = np.asarray(cir_from_trace(
+        result, tx_power=1.0, num_rays=dirs.shape[0], nbins=NBINS,
+        light_speed_mps=C, sample_rate_hz=RATE,
+    ))
+    assert int(result.captured.sum()) == len(paths_o)
+    # Pass-through re-captures are threshold events: a grazing chord whose
+    # f32 entry point rounds to just OUTSIDE the sphere takes the tiny t0
+    # re-entry instead of the t1 exit the f64 oracle takes (observed: one ray,
+    # chord 0.1398 vs 2e-4, shifting one bin by 47 slots). Budget a couple of
+    # such boundary flips; everything else must match bin-for-bin.
+    mismatch = ~np.isclose(ir_j, ir_o, rtol=2e-4, atol=1e-9 * max(1.0, ir_o.max()))
+    assert mismatch.sum() <= 4, f"{int(mismatch.sum())} mismatched bins"
+    np.testing.assert_allclose(ir_j.sum(), ir_o.sum(), rtol=1e-3)
+    # The quirk must actually bite on this workload (chord re-captures exist):
+    # otherwise this test silently degenerates into the default-semantics one.
+    res_default = trace_to_rx(
+        scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+        jnp.asarray(RX, jnp.float32), 1.5, max_bounces=4, rx_mode=rx_mode,
+    )
+    d_q = np.asarray(result.distance)[np.asarray(result.captured)]
+    d_d = np.asarray(res_default.distance)[np.asarray(res_default.captured)]
+    assert not (d_q.shape == d_d.shape and np.allclose(d_q, d_d)), (
+        "quirk mode produced identical captures to default mode - workload too easy"
+    )
