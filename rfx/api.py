@@ -282,6 +282,40 @@ class Tracer:
         )
         return np.asarray(jax.block_until_ready(dbm))
 
+    def compute_coverage_dbm_hybrid(self, tx_pos, tx_power, rx_centers, rx_radius, *,
+                                    carrier_hz: float = 2.4e9, directions=None,
+                                    rx_batch: int = 64,
+                                    cancel_threshold: float = 0.5,
+                                    spread_threshold_s: float = 10e-9):
+        """((M,) dBm, n_flagged): phasor fast path with exact re-evaluation of
+        receivers flagged as cancellation-dominated (bounded worst-case error;
+        see rfx.coverage.coverage_dbm_hybrid)."""
+        from rfx.coverage import coverage_dbm_hybrid
+
+        dirs, active = self._directions(directions)
+        dbm, n_flagged = coverage_dbm_hybrid(
+            self.scene,
+            jnp.asarray(tx_pos, jnp.float32),
+            dirs,
+            jnp.asarray(rx_centers, jnp.float32),
+            jnp.asarray(rx_radius, jnp.float32),
+            max_bounces=self.max_bounces,
+            num_rays=self.tx_num_rays,
+            sample_window_s=self.sample_window_s,
+            sample_rate_hz=self.sample_rate_hz,
+            carrier_hz=carrier_hz,
+            light_speed_mps=self.light_speed_mps,
+            tx_power=tx_power,
+            n1=self.n1,
+            n2=self.n2,
+            rx_batch=rx_batch,
+            env_hit=self.env_hit,
+            active=active,
+            cancel_threshold=cancel_threshold,
+            spread_threshold_s=spread_threshold_s,
+        )
+        return dbm, n_flagged
+
     def rx_power_dbm(self, impulse_response, carrier_hz: float = 2.4e9):
         """Reference RX-power metric (ref main.py:46-55)."""
         dbm, _ = cir_mod.rx_power_dbm(

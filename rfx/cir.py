@@ -198,6 +198,7 @@ def rx_power_dbm_phasor(
     light_speed_mps: float,
     sample_rate_hz: float,
     carrier_hz: float = 2.4e9,
+    return_cancellation: bool = False,
 ):
     """RX power WITHOUT materializing the impulse response.
 
@@ -235,4 +236,26 @@ def rx_power_dbm_phasor(
     n_nz = jnp.maximum(jnp.max(s_k), 1.0)
     power = 0.5 * (a_re * a_re + a_im * a_im) / n_nz
     any_hit = jnp.any(valid)
-    return jnp.where(any_hit, to_dbm(jnp.maximum(power, 1e-300)), -jnp.inf)
+    dbm = jnp.where(any_hit, to_dbm(jnp.maximum(power, 1e-300)), -jnp.inf)
+    if not return_cancellation:
+        return dbm
+    # Cancellation diagnostic: coherent |A|^2 over the incoherent sum of the
+    # same weighted phasors. Near 1 when one arrival dominates or phases
+    # align; << 1 under destructive interference — exactly the regime where
+    # the single-phasor model's 'same'-convolution truncation error blows up
+    # (each spike's truncated sinusoid tail survives cancellation that the
+    # phasor sum assumes; COVERAGE_EXACT_r03 measured up to 20 dB there).
+    incoherent = jnp.sum((amp * w_k) ** 2)
+    ratio = (a_re * a_re + a_im * a_im) / jnp.maximum(incoherent, 1e-300)
+    ratio = jnp.where(any_hit, ratio, 1.0)
+    # Power-weighted delay spread (seconds): the second failure mode of the
+    # single-support phasor model is well-SEPARATED spikes (the sqrt(s_i s_j)
+    # cross-term support approximation degrades as spikes move apart), which
+    # shows up even without cancellation. Both diagnostics feed the hybrid's
+    # exact-fallback decision (rfx.coverage.coverage_dbm_hybrid).
+    wgt = (amp * w_k) ** 2
+    wsum = jnp.maximum(jnp.sum(wgt), 1e-300)
+    t_mean = jnp.sum(wgt * t_k) / wsum
+    spread = jnp.sqrt(jnp.maximum(jnp.sum(wgt * (t_k - t_mean) ** 2) / wsum, 0.0))
+    spread = jnp.where(any_hit, spread, 0.0)
+    return dbm, ratio, spread

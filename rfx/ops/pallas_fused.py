@@ -53,17 +53,16 @@ from rfx.ops.pallas_trace import (
     _pack_bvh,
 )
 
-__all__ = ["make_fused_tracer", "fused_trace_planes"]
+__all__ = ["make_fused_tracer", "make_diff_fused_tracer", "fused_trace_planes",
+           "replay_from_faces"]
 
 _DEAD = 1e9  # parked-ray origin (matches rfx.tracer's park sentinel)
 
 
 def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
-                  capt_ref, capa_ref, capd_ref, nb_ref,
-                  o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s,
-                  tcap_ref, agenda_ref, *tri_scratch,
+                  capt_ref, capa_ref, capd_ref, nb_ref, *rest,
                   sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
-                  pack=False):
+                  pack=False, record_faces=False):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -79,6 +78,16 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     import jax.lax as lax
+
+    # Optional face recording (the differentiable-replay backward's record;
+    # see fused docstring): one extra output ref + one extra walk accumulator.
+    if record_faces:
+        faces_ref, o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s, \
+            fc_s, tcap_ref, agenda_ref, *tri_scratch = rest
+    else:
+        faces_ref = fc_s = None
+        o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s, \
+            tcap_ref, agenda_ref, *tri_scratch = rest
 
     n_nodes = nodef_ref.shape[1]
     t_min = jnp.float32(T_MIN_EPS)
@@ -109,6 +118,8 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     capa_ref[0] = jnp.zeros((sub, 128), jnp.float32)
     capd_ref[0] = jnp.zeros((sub, 128), jnp.float32)
     nb_ref[0] = jnp.zeros((sub, 128), jnp.int32)
+    if record_faces:
+        faces_ref[0] = jnp.full((max_bounces, sub, 128), -1, jnp.int32)
 
     def group_visit(bases, head_for_slot):
         """Batched MT over `group` leaves, folding t and the winning
@@ -116,6 +127,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         and tie-break discipline as pallas_trace._kernel.group_visit."""
         t_best = t_s[:]
         nx_best, ny_best, nz_best = nx_s[:], ny_s[:], nz_s[:]
+        fc_best = fc_s[:] if record_faces else None
         if stream:
             tri_buf, dma_sem = tri_scratch
             slot = head_for_slot & jnp.int32(7)
@@ -141,7 +153,8 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
         cnx, cny, cnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
-        t_rows, nx_rows, ny_rows, nz_rows = [], [], [], []
+        cfc = tri[:, 12:13] if record_faces else None
+        t_rows, nx_rows, ny_rows, nz_rows, fc_rows = [], [], [], [], []
         ox8, oy8, oz8 = o_s[0], o_s[1], o_s[2]
         dx8, dy8, dz8 = d_s[0], d_s[1], d_s[2]
         for r in range(sub):
@@ -176,12 +189,17 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             nx_rows.append(jnp.where(upd, nxl, nx_best[r : r + 1, :]))
             ny_rows.append(jnp.where(upd, nyl, ny_best[r : r + 1, :]))
             nz_rows.append(jnp.where(upd, nzl, nz_best[r : r + 1, :]))
+            if record_faces:
+                fcl = jnp.min(jnp.where(sel, cfc, big), axis=0, keepdims=True)
+                fc_rows.append(jnp.where(upd, fcl, fc_best[r : r + 1, :]))
         new_t = jnp.concatenate(t_rows, axis=0)
         tcap_ref[0, 0] = jnp.max(new_t)
         t_s[:] = new_t
         nx_s[:] = jnp.concatenate(nx_rows, axis=0)
         ny_s[:] = jnp.concatenate(ny_rows, axis=0)
         nz_s[:] = jnp.concatenate(nz_rows, axis=0)
+        if record_faces:
+            fc_s[:] = jnp.concatenate(fc_rows, axis=0)
 
     def box_node_mask(nk):
         """Per-ray slab test -> (sub, 128) bool hit mask (no reduce; the
@@ -305,6 +323,8 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         nx_s[:] = jnp.zeros((sub, 128), jnp.float32)
         ny_s[:] = jnp.zeros((sub, 128), jnp.float32)
         nz_s[:] = jnp.zeros((sub, 128), jnp.float32)
+        if record_faces:
+            fc_s[:] = jnp.full((sub, 128), -1.0, jnp.float32)
         tcap_ref[0, 0] = jnp.float32(_MISS)
         i_s[0] = inv_plane(d_s[0])
         i_s[1] = inv_plane(d_s[1])
@@ -347,6 +367,9 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         capa_ref[0] = jnp.where(rx_win, amp, capa_ref[0])
         capd_ref[0] = jnp.where(rx_win, dist + t_rx, capd_ref[0])
         nb_ref[0] = nb_ref[0] + env_b.astype(jnp.int32)
+        if record_faces:
+            fplane = jnp.where(env_b, fc_s[:].astype(jnp.int32), -1)
+            faces_ref[0, pl.ds(b, 1)] = fplane[None]
 
         # Specular reflect + algebraic s-pol Fresnel (see module docstring):
         # w = d.n; sin(theta) = sqrt(1 - w^2), cos(theta) = |w|.
@@ -387,18 +410,30 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec", "interpret", "pack"))
+@partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec",
+                                   "interpret", "pack", "record_faces"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
-                       stream=False, k_spec=_K_SPEC, interpret=False, pack=False):
+                       stream=False, k_spec=_K_SPEC, interpret=False, pack=False,
+                       record_faces=False):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
-    shape (tiles, sub, 128)."""
+    shape (tiles, sub, 128). With record_faces also returns a
+    (tiles, max_bounces, sub, 128) i32 plane of per-bounce hit face ids
+    (-1 where the ray did not env-bounce) — the differentiable replay's
+    record (see make_diff_fused_tracer)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tiles = dT.shape[1]
     plane = lambda dt: jax.ShapeDtypeStruct((tiles, sub, 128), dt)
     out_spec = pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = [out_spec] * 4
+    out_shape = [
+        plane(jnp.int32),
+        plane(jnp.float32),
+        plane(jnp.float32),
+        plane(jnp.int32),
+    ]
     sp = lambda: pltpu.VMEM((sub, 128), jnp.float32)
     scratch = [
         pltpu.VMEM((3, sub, 128), jnp.float32),  # o
@@ -406,6 +441,17 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
         pltpu.VMEM((3, sub, 128), jnp.float32),  # inv d
         sp(), sp(), sp(), sp(),  # t, nx, ny, nz
         sp(), sp(), sp(),  # amp, dist, alive
+    ]
+    if record_faces:
+        out_specs = out_specs + [
+            pl.BlockSpec((1, max_bounces, sub, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((tiles, max_bounces, sub, 128), jnp.int32)
+        ]
+        scratch = scratch + [sp()]  # fc accumulator
+    scratch += [
         pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
         pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
     ]
@@ -419,7 +465,7 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
-                stream=stream, k_spec=k_spec, pack=pack),
+                stream=stream, k_spec=k_spec, pack=pack, record_faces=record_faces),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -428,13 +474,8 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
             pl.BlockSpec((3, 1, sub, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             trif_spec,
         ],
-        out_specs=[out_spec] * 4,
-        out_shape=[
-            plane(jnp.int32),
-            plane(jnp.float32),
-            plane(jnp.float32),
-            plane(jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -484,10 +525,13 @@ class FusedTracer:
         self.pack = pack
         self.interpret = interpret
 
-    def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0):
+    def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0,
+                 record_faces: bool = False):
         """Traceable (jit-safe) end to end: plane packing, the fused kernel,
         unpacking. Callers may wrap this (plus IR binning) in one jit so the
-        whole CIR is a single device program."""
+        whole CIR is a single device program. With record_faces=True returns
+        (TraceResult, (max_bounces, N) i32 per-bounce face ids) — the
+        differentiable replay's record."""
         n = directions.shape[0]
         pad = (-n) % self.tile_rays
         d = directions.astype(jnp.float32)
@@ -508,20 +552,137 @@ class FusedTracer:
         scal = scal.at[6].set(r * r)
         scal = scal.at[7].set(jnp.asarray(n1, jnp.float32))
         scal = scal.at[8].set(jnp.asarray(n2, jnp.float32))
-        capt, capa, capd, nb = fused_trace_planes(
+        outs = fused_trace_planes(
             self.nodef, self.nodei, self.trif, dT, scal,
             sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
-            pack=self.pack,
+            pack=self.pack, record_faces=record_faces,
         )
+        capt, capa, capd, nb = outs[:4]
         from rfx.tracer import TraceResult
 
-        return TraceResult(
+        result = TraceResult(
             captured=capt.reshape(m)[:n].astype(bool),
             amplitude=capa.reshape(m)[:n],
             distance=capd.reshape(m)[:n],
             num_bounces=nb.reshape(m)[:n],
         )
+        if record_faces:
+            # (tiles, B, sub, 128) -> (B, N)
+            bf = jnp.moveaxis(outs[4], 1, 0).reshape(self.max_bounces, m)[:, :n]
+            return result, bf
+        return result
+
+
+def replay_from_faces(vertices, faces_tbl, tx_pos, directions, rx_pos, rx_radius,
+                      bounce_faces, captured, num_bounces, *, n1=5.0, n2=1.0):
+    """Differentiable closed-form replay of a recorded fused trace.
+
+    The fused kernel records WHICH face each ray hit per bounce
+    (bounce_faces (B, N) i32, -1 = no bounce) plus capture flags/counts; this
+    function recomputes (amplitude, distance) for the captured rays in plain
+    JAX with the hit *selection* frozen (straight-through, the same treatment
+    as the per-query custom-VJP intersectors): per bounce, one closed-form
+    Moller-Trumbore t on the recorded face, edge-derived normal, specular
+    reflection, Fresnel factor; at the capture step, the analytic sphere hit.
+    Cost is O(B*N) gathers + vector math — NO BVH re-traversal — so the
+    VJP of the whole multi-bounce trace is a cheap dense pipeline.
+
+    Differentiable in: vertices, tx_pos, directions, rx_pos, rx_radius.
+    Outputs match the kernel's (amplitude, distance) within f32 tolerance
+    (the kernel's algebraic Fresnel == physics.fresnel_bounce_amplitude).
+    """
+    from rfx import physics
+    from rfx.ops.intersect import closed_form_t, ray_sphere_hit
+
+    B = bounce_faces.shape[0]
+    f32 = jnp.float32
+    d = directions.astype(f32)
+    zeros = jnp.zeros_like(d[:, 0])
+    o = jnp.asarray(tx_pos, f32)[None, :] + zeros[:, None]
+    amp = zeros + 1.0
+    dist = zeros
+    cap_amp = zeros
+    cap_dist = zeros
+    v0_all = vertices[faces_tbl[:, 0]]
+    e1_all = vertices[faces_tbl[:, 1]] - v0_all
+    e2_all = vertices[faces_tbl[:, 2]] - v0_all
+    rx = jnp.asarray(rx_pos, f32)
+
+    for b in range(B):
+        env_b = bounce_faces[b] >= 0
+        cap_b = captured & (num_bounces == b)
+        # Capture at this step: amplitude/distance frozen at entry state.
+        t_rx = ray_sphere_hit(o, d, rx, rx_radius)
+        t_rx_safe = jnp.where(cap_b & (t_rx < MISS_THRESHOLD), t_rx, 0.0)
+        cap_amp = jnp.where(cap_b, amp, cap_amp)
+        cap_dist = jnp.where(cap_b, dist + t_rx_safe, cap_dist)
+        # Env bounce on the recorded face.
+        f = jnp.clip(bounce_faces[b], 0, None)
+        fv0, fe1, fe2 = v0_all[f], e1_all[f], e2_all[f]
+        t_env = closed_form_t(o, d, fv0, fe1, fe2)
+        t_adv = jnp.where(env_b, t_env, 0.0)
+        nrm = jnp.cross(fe1, fe2)
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+        d_out = physics.reflect(d, nrm)
+        fres = physics.fresnel_bounce_amplitude(physics.bend_angle(d, d_out), n1, n2)
+        o = jnp.where(env_b[:, None], o + d * t_adv[:, None], o)
+        d = jnp.where(env_b[:, None], d_out, d)
+        amp = jnp.where(env_b, amp * fres, amp)
+        dist = dist + t_adv
+    # A capture at step B (after the last allowed bounce) cannot happen in the
+    # kernel (the loop runs exactly max_bounces iterations), so num_bounces of
+    # a captured ray is always < B.
+    return cap_amp, cap_dist
+
+
+def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
+                           n2=1.0, **kwargs):
+    """Differentiable fused tracer: Pallas megakernel forward + recorded-face
+    replay backward (round-3 VERDICT #4: fused backward without re-traversal).
+
+    Returns diff_trace(vertices, tx_pos, directions, rx_pos, rx_radius) ->
+    TraceResult. Gradients flow to every argument via the replay's VJP; the
+    forward's capture/bounce-count/face record is straight-through (the same
+    selection-freezing as the per-query intersectors' custom VJPs).
+
+    `faces_tbl` is the scene's (F, 3) int32 face-index table; `vertices` is
+    passed at call time so vertex gradients flow. The BVH (and the kernel's
+    triangle blocks) are built once from the mesh — a caller optimizing
+    vertices should rebuild per geometry update (hit topology changes are
+    non-differentiable anyway).
+    """
+    fused = make_fused_tracer(flat_or_mesh, max_bounces=max_bounces, **kwargs)
+    faces_tbl = jnp.asarray(faces_tbl)
+
+    @jax.custom_vjp
+    def diff_trace(vertices, tx_pos, directions, rx_pos, rx_radius):
+        r, _ = _fwd(vertices, tx_pos, directions, rx_pos, rx_radius)
+        return r
+
+    def _fwd(vertices, tx_pos, directions, rx_pos, rx_radius):
+        out = fused(directions, tx_pos, rx_pos, rx_radius, n1=n1, n2=n2,
+                    record_faces=True)
+        result, bounce_faces = out
+        res = (vertices, tx_pos, directions, rx_pos, rx_radius,
+               bounce_faces, result.captured, result.num_bounces)
+        return result, res
+
+    def _bwd(res, g):
+        vertices, tx_pos, directions, rx_pos, rx_radius, bf, cap, nb = res
+        g_amp = g.amplitude
+        g_dist = g.distance
+
+        def amp_dist(v, t, dirs, rx, rr):
+            return replay_from_faces(v, faces_tbl, t, dirs, rx, rr, bf, cap, nb,
+                                     n1=n1, n2=n2)
+
+        _, vjp = jax.vjp(amp_dist, vertices, tx_pos, directions, rx_pos,
+                         jnp.asarray(rx_radius, jnp.float32))
+        return vjp((g_amp, g_dist))
+
+    diff_trace.defvjp(_fwd, _bwd)
+    return diff_trace
 
 
 def make_fused_tracer(flat_or_mesh, *, max_bounces: int, **kwargs) -> FusedTracer:

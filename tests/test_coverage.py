@@ -137,3 +137,40 @@ def test_coverage_dbm_fast_matches_exact_shape_and_values(box_room):
     diff = np.abs(fast[ok] - exact[ok])
     assert np.median(diff) < 1.0, f"median {np.median(diff)} dB"
     assert diff.max() < 6.0, f"max {diff.max()} dB"
+
+
+def test_coverage_dbm_hybrid_bounds_error(box_room):
+    """The hybrid metric must cap the phasor path's worst-case error: every
+    receiver's hybrid dBm within ~1.2 dB of exact (the pure-fast path errs by
+    up to 15+ dB on this workload under destructive interference)."""
+    import jax.numpy as jnp
+
+    from rfx.cir import rx_power_dbm
+    from rfx.coverage import coverage_dbm_hybrid
+
+    scene = Scene.from_mesh(box_room)
+    n = 8192
+    dirs = jnp.asarray(sample_sphere_directions(n, seed=77))
+    centers = jnp.asarray(make_grid(range(-12, 13, 6), range(-12, 13, 6), [2, 8]))
+    tx = jnp.asarray([3.0, 2.0, 2.0], jnp.float32)
+    window = 100e-9
+    rate = 10e9
+    nbins = int(window * rate)
+
+    irs = coverage_irs(
+        scene, tx, dirs, centers, jnp.float32(1.0),
+        max_bounces=2, nbins=nbins, num_rays=n,
+        light_speed_mps=2.998e8, sample_rate_hz=rate, rx_batch=10,
+    )
+    exact, _ = rx_power_dbm(irs, window)
+    exact = np.asarray(exact)
+    hybrid, n_flagged = coverage_dbm_hybrid(
+        scene, tx, dirs, centers, jnp.float32(1.0),
+        max_bounces=2, num_rays=n, sample_window_s=window, sample_rate_hz=rate,
+        rx_batch=10,
+    )
+    ok = np.isfinite(exact)
+    assert np.array_equal(ok, np.isfinite(hybrid))
+    assert n_flagged > 0, "workload produced no flagged receivers - test degenerate"
+    err = np.abs(hybrid[ok] - exact[ok])
+    assert err.max() < 1.3, f"hybrid max err {err.max():.2f} dB"

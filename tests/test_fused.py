@@ -105,3 +105,77 @@ def test_fused_interpret_streaming_layout():
     flat = build_bvh(mesh, leaf_size=128)
     ft = make_fused_tracer(flat, max_bounces=bounces, interpret=True, force_stream=True)
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
+
+
+def test_fused_record_faces_and_replay_matches():
+    """record_faces output is consistent (face >= 0 exactly where a bounce
+    happened) and the differentiable replay reproduces the kernel's
+    amplitude/distance from the record alone (no traversal)."""
+    from rfx.ops.pallas_fused import replay_from_faces
+
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 2048, 3
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(4), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    ft = make_fused_tracer(mesh, max_bounces=bounces, interpret=True)
+    result, bf = ft(dirs, tx, rx, 1.0, record_faces=True)
+    bf = np.asarray(bf)
+    nb = np.asarray(result.num_bounces)
+    assert bf.shape == (bounces, n)
+    # face recorded exactly at the first num_bounces steps of each ray...
+    counts = (bf >= 0).sum(axis=0)
+    # ...except rays still alive after the last bounce also record that hit.
+    assert np.all((counts == nb) | (counts == np.minimum(nb + 1, bounces)))
+    assert np.all(bf[(np.arange(bounces)[:, None] < nb[None, :])] >= 0)
+
+    amp, dist = replay_from_faces(
+        scene.vertices, scene.faces, tx, dirs, rx, jnp.float32(1.0),
+        jnp.asarray(bf), result.captured, result.num_bounces,
+    )
+    m = np.asarray(result.captured)
+    assert m.sum() > 0
+    assert np.allclose(np.asarray(amp)[m], np.asarray(result.amplitude)[m],
+                       rtol=5e-5, atol=1e-7)
+    assert np.allclose(np.asarray(dist)[m], np.asarray(result.distance)[m],
+                       rtol=2e-5, atol=2e-4)
+
+
+def test_diff_fused_gradients_match_scan_path():
+    """make_diff_fused_tracer: fused forward + replay backward must agree with
+    the scan path's custom-VJP gradients (same straight-through selection)."""
+    from rfx.ops.pallas_fused import make_diff_fused_tracer
+
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 1024, 3
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(4), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    dt = make_diff_fused_tracer(mesh, scene.faces, max_bounces=bounces,
+                                interpret=True)
+
+    def loss_fused(txp, verts):
+        r = dt(verts, txp, dirs, rx, jnp.float32(1.0))
+        return jnp.sum(jnp.where(r.captured, r.amplitude * r.distance, 0.0))
+
+    def loss_scan(txp, verts):
+        r = trace_to_rx(Scene(verts, scene.faces), txp, dirs, rx, 1.0,
+                        max_bounces=bounces, rx_mode="analytic")
+        return jnp.sum(jnp.where(r.captured, r.amplitude * r.distance, 0.0))
+
+    lf = float(loss_fused(tx, scene.vertices))
+    ls = float(loss_scan(tx, scene.vertices))
+    assert abs(lf - ls) < 1e-4 * max(abs(ls), 1e-6)
+    gf_tx, gf_v = jax.grad(loss_fused, argnums=(0, 1))(tx, scene.vertices)
+    gs_tx, gs_v = jax.grad(loss_scan, argnums=(0, 1))(tx, scene.vertices)
+    assert np.all(np.isfinite(np.asarray(gf_tx)))
+    np.testing.assert_allclose(np.asarray(gf_tx), np.asarray(gs_tx),
+                               rtol=2e-3, atol=1e-8)
+    # 1% rtol: the replay's closed-form t and the scan path's custom-VJP use
+    # different (equivalent) algebra; f32 rounding differs in the last bits.
+    np.testing.assert_allclose(np.asarray(gf_v), np.asarray(gs_v),
+                               rtol=1e-2, atol=1e-6 * max(1.0, float(np.abs(np.asarray(gs_v)).max())))
