@@ -50,8 +50,14 @@ def _bincount_matmul(bins: jnp.ndarray, weights: jnp.ndarray, nbins: int) -> jnp
         q, r, w = args
         a = jnp.where(q[None, :] == qi[:, None], w[None, :], 0.0)  # (Q, C)
         b = (r[None, :] == ri[:, None]).astype(w.dtype)  # (128, C)
+        # Precision.HIGH: the TPU's DEFAULT matmul precision truncates f32
+        # operands toward bf16 (measured ~0.15% error on single-path bins via
+        # the coverage kernel — enough to break the documented scatter
+        # equivalence). HIGH = 3 bf16 passes reconstructs ~full f32 (~1e-7
+        # relative), at half the cost of HIGHEST's 6 passes.
         return acc + jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
         ), None
 
     acc0 = jnp.zeros((q_size, 128), jnp.float32)

@@ -65,7 +65,8 @@ def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, n
 @partial(
     jax.jit,
     static_argnames=(
-        "max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft", "engine"
+        "max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft", "engine",
+        "light_speed_mps", "sample_rate_hz",
     ),
 )
 def coverage_irs(

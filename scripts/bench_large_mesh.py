@@ -8,7 +8,7 @@ same size class. Beyond STREAM_TRI_THRESHOLD the kernel keeps triangle
 blocks in HBM and DMAs one (128, 128) block per pending leaf (leaf = 128),
 so this run exercises that path end-to-end, compiled.
 
-Outputs BENCH_LARGE_r03.json:
+Outputs LARGEMESH_r04.json:
   - subsample parity: streaming-TPU query vs the independent jnp BVH
     traversal on CPU (16k rays), plus capture-level trace agreement
   - multi-bounce end-to-end Mrays/s on the 5.24M-ray x 4-bounce CIR workload
@@ -175,7 +175,7 @@ def main():
     out["fused_seconds_per_trace"] = round(best_f, 4)
     out["fused_mrays_per_s"] = round(n_rays / best_f / 1e6, 2)
 
-    with open("BENCH_LARGE_r03.json", "w") as f:
+    with open("LARGEMESH_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -35,39 +35,56 @@ def main():
     rate = 100e9
     nbins = int(window * rate)
 
-    t0 = time.perf_counter()
-    irs = coverage_irs(
-        scene, tx, dirs, grid, 0.5,
-        max_bounces=2, nbins=nbins, num_rays=n_rays, sample_rate_hz=rate,
-        rx_batch=8,
-    )
-    dbm_exact, _ = rx_power_dbm(irs, window)
-    dbm_exact = np.asarray(dbm_exact)
-    t_exact = time.perf_counter() - t0
+    def run_exact():
+        irs = coverage_irs(
+            scene, tx, dirs, grid, 0.5,
+            max_bounces=2, nbins=nbins, num_rays=n_rays, sample_rate_hz=rate,
+            rx_batch=8,
+        )
+        dbm, _ = rx_power_dbm(irs, window)
+        return np.asarray(dbm)
 
     t0 = time.perf_counter()
-    dbm_fast = np.asarray(coverage_dbm_fast(
-        scene, tx, dirs, grid, 0.5,
-        max_bounces=2, num_rays=n_rays, sample_window_s=window, sample_rate_hz=rate,
-        rx_batch=8,
-    ))
+    dbm_exact = run_exact()
+    t_exact = time.perf_counter() - t0  # includes compile
+    t0 = time.perf_counter()
+    dbm_exact = run_exact()
+    t_exact_warm = time.perf_counter() - t0
+
+    def run_fast():
+        return np.asarray(coverage_dbm_fast(
+            scene, tx, dirs, grid, 0.5,
+            max_bounces=2, num_rays=n_rays, sample_window_s=window, sample_rate_hz=rate,
+            rx_batch=8,
+        ))
+
+    t0 = time.perf_counter()
+    dbm_fast = run_fast()
     t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dbm_fast = run_fast()
+    t_fast_warm = time.perf_counter() - t0
 
     finite = np.isfinite(dbm_exact) & np.isfinite(dbm_fast)
     delta = np.abs(dbm_exact[finite] - dbm_fast[finite])
     out = np.concatenate([np.asarray(grid), dbm_exact[:, None]], axis=1).astype(np.float32)
     np.save("examples/coverage_exact_dbm.npy", out)
-    print(json.dumps({
+    payload = {
         "receivers": int(grid.shape[0]),
         "rays": n_rays,
         "exact_seconds": round(t_exact, 2),
+        "exact_seconds_warm": round(t_exact_warm, 2),
         "fast_seconds": round(t_fast, 2),
+        "fast_seconds_warm": round(t_fast_warm, 2),
         "reached": int(finite.sum()),
         "exact_dbm_range": [float(np.nanmin(dbm_exact[finite])), float(np.nanmax(dbm_exact[finite]))],
         "exact_vs_fast_dB": {"median": round(float(np.median(delta)), 3),
                               "p95": round(float(np.percentile(delta, 95)), 3),
                               "max": round(float(delta.max()), 3)},
-    }))
+    }
+    print(json.dumps(payload))
+    with open("COVERAGE_EXACT_r04.json", "w") as f:
+        json.dump(payload, f)
 
 
 if __name__ == "__main__":
