@@ -35,13 +35,32 @@ def make_grid(x_range, y_range, z_range) -> np.ndarray:
     return np.asarray(pts, dtype=np.float32)
 
 
+def _rx_query_t(o, d, rx_center, rx_radius, rx_mode: str):
+    if rx_mode == "analytic":
+        return ray_sphere_hit(o, d, rx_center, rx_radius)
+    if rx_mode == "icosphere":
+        # Reference receiver tessellation (ref tracer.py:26-30 via
+        # compute_cir, inherited by ref coverage.py): 80-face icosphere.
+        from rfx.ops.intersect import ray_mesh_closest_hit_brute
+        from rfx.tracer import unit_icosphere_soa
+
+        uv0, ue1, ue2 = unit_icosphere_soa()
+        v0 = uv0 * rx_radius + rx_center[None, :]
+        e1 = ue1 * rx_radius
+        e2 = ue2 * rx_radius
+        t, _ = ray_mesh_closest_hit_brute(o, d, v0, e1, e2)
+        return t
+    raise ValueError(f"unknown rx_mode: {rx_mode}")
+
+
 def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, num_rays,
-                         nbins, light_speed_mps, sample_rate_hz, soft=False):
+                         nbins, light_speed_mps, sample_rate_hz, soft=False,
+                         rx_mode: str = "analytic"):
     """IR for a single receiver from shared env segments. Shapes: (B, N)."""
     B, N = segs.t_env.shape
     o = segs.origin.reshape(B * N, 3)
     d = segs.direction.reshape(B * N, 3)
-    t_rx = ray_sphere_hit(o, d, rx_center, rx_radius).reshape(B, N)
+    t_rx = _rx_query_t(o, d, rx_center, rx_radius, rx_mode).reshape(B, N)
     # Receiver wins on a segment iff hit AND (env missed OR t_env > t_rx)
     # (ref kernel.py:85); with finite miss sentinels this reduces to
     # t_env > t_rx. Dead segments are gated by `alive`.
@@ -66,7 +85,7 @@ def _rx_ir_from_segments(segs: EnvSegments, rx_center, rx_radius, *, tx_power, n
     jax.jit,
     static_argnames=(
         "max_bounces", "nbins", "num_rays", "rx_batch", "env_hit", "soft", "engine",
-        "light_speed_mps", "sample_rate_hz",
+        "light_speed_mps", "sample_rate_hz", "rx_mode",
     ),
 )
 def coverage_irs(
@@ -89,8 +108,14 @@ def coverage_irs(
     active=None,
     soft: bool = False,
     engine: str = "auto",
+    rx_mode: str = "analytic",
 ):
     """(M, nbins) impulse responses for M receiver spheres from one trace.
+
+    rx_mode: 'analytic' (exact sphere, the fast default) or 'icosphere' (the
+    reference's 80-face tessellation, ref tracer.py:26-30 — strict geometric
+    parity mode; map engine only, markedly slower: 80 Moller-Trumbore tests
+    per segment per receiver).
 
     engine:
       'map'     — vmapped batches of `rx_batch` receivers under lax.map; each
@@ -112,10 +137,12 @@ def coverage_irs(
     )
     if engine == "auto":
         on_tpu = jax.devices()[0].platform != "cpu"
-        engine = "batched" if (on_tpu and not soft) else "map"
+        engine = "batched" if (on_tpu and not soft and rx_mode == "analytic") else "map"
     if engine == "batched":
         if soft:
             raise ValueError("engine='batched' supports hard binning only")
+        if rx_mode != "analytic":
+            raise ValueError("engine='batched' supports the analytic receiver only")
         from rfx.ops.pallas_coverage import coverage_hist_pallas
 
         scaled = segs._replace(amplitude=segs.amplitude * (tx_power / num_rays))
@@ -137,6 +164,7 @@ def coverage_irs(
         light_speed_mps=light_speed_mps,
         sample_rate_hz=sample_rate_hz,
         soft=soft,
+        rx_mode=rx_mode,
     )
     irs = jax.lax.map(jax.vmap(fn), centers.reshape(-1, rx_batch, 3))
     return irs.reshape(-1, nbins)[:m]

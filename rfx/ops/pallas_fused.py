@@ -62,7 +62,7 @@ _DEAD = 1e9  # parked-ray origin (matches rfx.tracer's park sentinel)
 def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                   capt_ref, capa_ref, capd_ref, nb_ref, *rest,
                   sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
-                  pack=False, record_faces=False):
+                  pack=False, record_faces=False, cone_filter=False):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -81,13 +81,13 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
     # Optional face recording (the differentiable-replay backward's record;
     # see fused docstring): one extra output ref + one extra walk accumulator.
-    if record_faces:
-        faces_ref, o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s, \
-            fc_s, tcap_ref, agenda_ref, *tri_scratch = rest
-    else:
-        faces_ref = fc_s = None
-        o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s, \
-            tcap_ref, agenda_ref, *tri_scratch = rest
+    rest = list(rest)
+    faces_ref = rest.pop(0) if record_faces else None
+    o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s = rest[:10]
+    rest = rest[10:]
+    fc_s = rest.pop(0) if record_faces else None
+    cone_s = rest.pop(0) if cone_filter else None
+    tcap_ref, agenda_ref, *tri_scratch = rest
 
     n_nodes = nodef_ref.shape[1]
     t_min = jnp.float32(T_MIN_EPS)
@@ -230,6 +230,79 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         box_hit = (t_near <= jnp.minimum(t_far, t_best)) & (t_far >= t_min)
         return box_hit
 
+    def compute_cone():
+        """Per-bounce bounding cone of the ALIVE rays, computed in-kernel
+        (9 masked reduces + vector math, amortized over the walk's node
+        tests). Stored in SMEM cone_s: [0:3] apex, [3:6] axis, [6] r0,
+        [7] growth rate 2*sin(theta_max/2) (strictly conservative per-axis
+        deviation bound — note sin(theta_max), which pallas_trace's cone
+        uses, is NOT an upper bound of |d - axis| for wide angles),
+        [8] wide flag (1.0 = skip cone tests)."""
+        a = alive_s[:]
+        dx, dy, dz = d_s[0], d_s[1], d_s[2]
+        cnt = jnp.maximum(jnp.sum(a), 1.0)
+        sx = jnp.sum(a * dx)
+        sy = jnp.sum(a * dy)
+        sz = jnp.sum(a * dz)
+        nrm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        ok = nrm > 1e-6
+        inv = 1.0 / jnp.where(ok, nrm, 1.0)
+        ax, ay, az = sx * inv, sy * inv, sz * inv
+        cosm = jnp.min(jnp.where(a > 0.5, dx * ax + dy * ay + dz * az, 1.0))
+        apx = jnp.sum(a * o_s[0]) / cnt
+        apy = jnp.sum(a * o_s[1]) / cnt
+        apz = jnp.sum(a * o_s[2]) / cnt
+        dev = jnp.maximum(
+            jnp.abs(o_s[0] - apx),
+            jnp.maximum(jnp.abs(o_s[1] - apy), jnp.abs(o_s[2] - apz)),
+        )
+        r0 = jnp.max(jnp.where(a > 0.5, dev, 0.0))
+        grow = jnp.sqrt(jnp.maximum(2.0 * (1.0 - cosm), 0.0))
+        wide = (~ok) | (cosm < 0.5)
+        cone_s[0] = apx
+        cone_s[1] = apy
+        cone_s[2] = apz
+        cone_s[3] = ax
+        cone_s[4] = ay
+        cone_s[5] = az
+        cone_s[6] = r0
+        cone_s[7] = grow
+        cone_s[8] = jnp.where(wide, 1.0, 0.0)
+
+    def cone_node_hit(nk):
+        """Scalar conservative cone-vs-node-AABB test (True = maybe hit, and
+        always True for wide cones). Expands each AABB half-extent by
+        r0 + grow * t and intersects the per-axis t-intervals of the axis
+        ray (see rfx.ops.pallas_trace.cone_node_hit for the derivation)."""
+        wide = cone_s[8] > 0.5
+        c_sin = cone_s[7]
+        c_r0 = cone_s[6]
+        t_lo = jnp.float32(0.0)
+        t_hi = jnp.float32(1.0e6)
+        for ci, ai, hrow in (
+            (nodef_ref[0, nk] - cone_s[0], cone_s[3], 3),
+            (nodef_ref[1, nk] - cone_s[1], cone_s[4], 4),
+            (nodef_ref[2, nk] - cone_s[2], cone_s[5], 5),
+        ):
+            h = nodef_ref[hrow, nk] + c_r0
+            dp = ai + c_sin
+            dm = ai - c_sin
+            lo1 = (ci - h) / jnp.where(dp > 1e-12, dp, 1.0)
+            inf1 = (dp <= 1e-12) & (ci - h > 0.0)
+            hi1 = (ci + h) / jnp.where(dm > 1e-12, dm, 1.0)
+            unb1 = dm <= 1e-12
+            t_lo = jnp.maximum(t_lo, jnp.where(dp > 1e-12, jnp.maximum(lo1, 0.0), 0.0))
+            t_hi = jnp.where(inf1, jnp.float32(-1.0), jnp.where(unb1, t_hi, jnp.minimum(t_hi, hi1)))
+            dp2 = -ai + c_sin
+            dm2 = -ai - c_sin
+            lo2 = (-ci - h) / jnp.where(dp2 > 1e-12, dp2, 1.0)
+            inf2 = (dp2 <= 1e-12) & (-ci - h > 0.0)
+            hi2 = (-ci + h) / jnp.where(dm2 > 1e-12, dm2, 1.0)
+            unb2 = dm2 <= 1e-12
+            t_lo = jnp.maximum(t_lo, jnp.where(dp2 > 1e-12, jnp.maximum(lo2, 0.0), 0.0))
+            t_hi = jnp.where(inf2, jnp.float32(-1.0), jnp.where(unb2, t_hi, jnp.minimum(t_hi, hi2)))
+        return wide | (t_lo <= t_hi)
+
     def packed_hits(node):
         """Test k_spec speculative nodes with k_spec/2 scalar reduces instead
         of k_spec: pack two nodes' 0/1 masks into disjoint f32 count fields
@@ -268,7 +341,22 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
     def walk_body(state):
         node, head, tail = state
-        hits = packed_hits(node)
+        if cone_filter:
+            # Scalar cone pre-filter: the vector slab test + its cross-lane
+            # reduce (the walk's dominant cost) only runs on nodes the tile's
+            # bounding cone can reach. Compute all k cone bits first so the
+            # scalar tests pipeline ahead of the branches.
+            cone_bits = [cone_node_hit(node + k) for k in range(k_spec)]
+            hits = [
+                jax.lax.cond(
+                    cone_bits[k],
+                    lambda nk=node + k: jnp.any(box_node_mask(nk)),
+                    lambda: jnp.bool_(False),
+                )
+                for k in range(k_spec)
+            ]
+        else:
+            hits = packed_hits(node)
         metas = [(nodei_ref[0, node + k], nodei_ref[1, node + k]) for k in range(k_spec)]
         cur = node
         for k in range(k_spec):
@@ -329,6 +417,8 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         i_s[0] = inv_plane(d_s[0])
         i_s[1] = inv_plane(d_s[1])
         i_s[2] = inv_plane(d_s[2])
+        if cone_filter:
+            compute_cone()
 
         # The bounce while_loop's condition guarantees at least one alive ray,
         # so the walk always engages here.
@@ -411,10 +501,10 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
 
 @partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec",
-                                   "interpret", "pack", "record_faces"))
+                                   "interpret", "pack", "record_faces", "cone_filter"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
                        stream=False, k_spec=_K_SPEC, interpret=False, pack=False,
-                       record_faces=False):
+                       record_faces=False, cone_filter=False):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
     shape (tiles, sub, 128). With record_faces also returns a
@@ -451,6 +541,8 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
             jax.ShapeDtypeStruct((tiles, max_bounces, sub, 128), jnp.int32)
         ]
         scratch = scratch + [sp()]  # fc accumulator
+    if cone_filter:
+        scratch = scratch + [pltpu.SMEM((12,), jnp.float32)]  # per-bounce cone
     scratch += [
         pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
         pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
@@ -465,7 +557,8 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
         trif_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
-                stream=stream, k_spec=k_spec, pack=pack, record_faces=record_faces),
+                stream=stream, k_spec=k_spec, pack=pack, record_faces=record_faces,
+                cone_filter=cone_filter),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -503,7 +596,7 @@ class FusedTracer:
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
                  interpret: bool = False, force_stream: bool = False,
-                 pack: bool = False):
+                 pack: bool = False, cone_filter: bool = False):
         if tile_rays is None:
             tile_rays = self.DEFAULT_TILE_RAYS
         if 128 % flat.leaf_size or flat.leaf_size < 16:
@@ -523,6 +616,7 @@ class FusedTracer:
         self.max_bounces = max_bounces
         self.k_spec = k_spec
         self.pack = pack
+        self.cone_filter = cone_filter
         self.interpret = interpret
 
     def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0,
@@ -557,6 +651,7 @@ class FusedTracer:
             sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
             pack=self.pack, record_faces=record_faces,
+            cone_filter=self.cone_filter,
         )
         capt, capa, capd, nb = outs[:4]
         from rfx.tracer import TraceResult

@@ -174,3 +174,30 @@ def test_coverage_dbm_hybrid_bounds_error(box_room):
     assert n_flagged > 0, "workload produced no flagged receivers - test degenerate"
     err = np.abs(hybrid[ok] - exact[ok])
     assert err.max() < 1.3, f"hybrid max err {err.max():.2f} dB"
+
+
+def test_coverage_icosphere_mode_matches_per_rx_trace(box_room):
+    """Strict-parity receiver tessellation in the coverage engine (the
+    reference inherits the 80-face icosphere receiver in its coverage sweep
+    via compute_cir, ref tracer.py:26-30): engine IRs must equal a per-
+    receiver icosphere trace_to_rx."""
+    dirs = sample_sphere_directions(2000, seed=23)
+    scene = Scene.from_mesh(box_room)
+    centers = np.array([[-10.0, 0.0, 5.0], [7.0, -7.0, 9.0]], np.float32)
+    irs = np.asarray(coverage_irs(
+        scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+        jnp.asarray(centers), jnp.float32(1.2), max_bounces=2, nbins=NBINS,
+        num_rays=2000, light_speed_mps=C, sample_rate_hz=RATE, rx_batch=2,
+        rx_mode="icosphere",
+    ))
+    for m, rx in enumerate(centers):
+        result = trace_to_rx(
+            scene, jnp.asarray(TX, jnp.float32), jnp.asarray(dirs),
+            jnp.asarray(rx, jnp.float32), 1.2, max_bounces=2,
+            rx_mode="icosphere",
+        )
+        ir_single = np.asarray(cir_from_trace(
+            result, tx_power=1.0, num_rays=2000, nbins=NBINS,
+            light_speed_mps=C, sample_rate_hz=RATE))
+        np.testing.assert_allclose(irs[m], ir_single, rtol=1e-5, atol=1e-12)
+    assert (irs != 0).any()

@@ -29,9 +29,10 @@ def _assert_trace_match(ref, fused_out):
 import pytest
 
 
-@pytest.mark.parametrize("pack", [True, False])
-def test_fused_interpret_matches_scan_tracer(pack):
-    """Both node-test reduce styles (packed f32 pairs / per-node any)."""
+@pytest.mark.parametrize("pack,cone", [(True, False), (False, False), (False, True)])
+def test_fused_interpret_matches_scan_tracer(pack, cone):
+    """All node-test styles: packed f32 pairs / per-node any / scalar cone
+    pre-filter (conservative — must not change any result)."""
     mesh = make_terrain(grid=16, extent=30.0, seed=3)
     scene = Scene.from_mesh(mesh)
     n, bounces = 2048, 3
@@ -40,7 +41,8 @@ def test_fused_interpret_matches_scan_tracer(pack):
     rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
 
     ref = trace_to_rx(scene, tx, dirs, rx, 1.0, max_bounces=bounces, rx_mode="analytic")
-    ft = make_fused_tracer(mesh, max_bounces=bounces, interpret=True, pack=pack)
+    ft = make_fused_tracer(mesh, max_bounces=bounces, interpret=True, pack=pack,
+                           cone_filter=cone)
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
 
 
