@@ -133,6 +133,11 @@ def main():
     mrays = n_rays / best / 1e6
 
     # --- Speed-of-light model (BASELINE.md "speed-of-light Mrays/s/chip") ---
+    # NOTE (round 4): this VPU/HBM model is the bound *if traversal were
+    # free*. PROFILE_r04.json revises it with hardware evidence (per-bounce
+    # split + two measured-negative walk optimizations): the binding resource
+    # is the scalar core driving the tile-uniform walk (~1 us per 8-node
+    # speculative window), and the fused kernel sits near that walk bound.
     # Two unavoidable costs per trace on one v5e chip:
     #  1. VPU: every alive ray per bounce must at least be Moller-Trumbore
     #     tested against one 128-candidate leaf drain (~45 f32 VPU ops per

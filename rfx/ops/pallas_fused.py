@@ -619,13 +619,22 @@ class FusedTracer:
         self.cone_filter = cone_filter
         self.interpret = interpret
 
+    def arrays(self):
+        """(nodef, nodei, trif) — pass these through an OUTER jit's arguments
+        and hand them back via __call__(arrays=...): closing over them bakes
+        them into the traced computation as constants, and for streaming-size
+        meshes (trif ~67 MB at 1M tris) the AOT compile payload then exceeds
+        the relay's request limit (HTTP 413, observed on v5e)."""
+        return self.nodef, self.nodei, self.trif
+
     def __call__(self, directions, tx_pos, rx_pos, rx_radius, n1=5.0, n2=1.0,
-                 record_faces: bool = False):
+                 record_faces: bool = False, arrays=None):
         """Traceable (jit-safe) end to end: plane packing, the fused kernel,
         unpacking. Callers may wrap this (plus IR binning) in one jit so the
-        whole CIR is a single device program. With record_faces=True returns
-        (TraceResult, (max_bounces, N) i32 per-bounce face ids) — the
-        differentiable replay's record."""
+        whole CIR is a single device program — for large meshes pass
+        `arrays=self.arrays()` through that jit's arguments (see arrays()).
+        With record_faces=True returns (TraceResult, (max_bounces, N) i32
+        per-bounce face ids) — the differentiable replay's record."""
         n = directions.shape[0]
         pad = (-n) % self.tile_rays
         d = directions.astype(jnp.float32)
@@ -646,8 +655,10 @@ class FusedTracer:
         scal = scal.at[6].set(r * r)
         scal = scal.at[7].set(jnp.asarray(n1, jnp.float32))
         scal = scal.at[8].set(jnp.asarray(n2, jnp.float32))
+        nodef, nodei, trif = arrays if arrays is not None else (
+            self.nodef, self.nodei, self.trif)
         outs = fused_trace_planes(
-            self.nodef, self.nodei, self.trif, dT, scal,
+            nodef, nodei, trif, dT, scal,
             sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
             pack=self.pack, record_faces=record_faces,
