@@ -120,17 +120,20 @@ def test_inverse_solver_reduces_loss(box_room):
     )
     target = jnp.sum(irs * irs, axis=1)
 
+    # lr 0.1 x 20 steps: at lr 0.25 the 8-step trajectory ends mid-oscillation
+    # around the optimum, and whether the last sample lands above or below the
+    # first is ULP-sensitive (a jit static-argnames change once flipped it).
     init_fn, step_fn = make_inverse_solver(
         scene, dirs, rxc, 2.5, target, max_bounces=2, nbins=512,
-        sample_rate_hz=10e9, learning_rate=0.25,
+        sample_rate_hz=10e9, learning_rate=0.1,
     )
     params, opt_state = init_fn(tx0=[0.0, 1.0, 6.0])
     losses = []
-    for _ in range(8):
+    for _ in range(20):
         params, opt_state, loss = step_fn(params, opt_state)
         losses.append(float(loss))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0], losses
+    assert losses[-1] < 0.99 * losses[0], losses
 
 
 @pytest.mark.parametrize("backend", ["brute", "bvh", "pallas"])
