@@ -32,7 +32,7 @@ def main():
     from rfx.ops.intersect import is_hit, mesh_soa
     from rfx.ops.pallas_trace import PALLAS_BLOCK, make_pallas_env_hit
     from rfx.ops.bvh_traverse import make_bvh_env_hit
-    from rfx.tracer import Scene, trace_to_rx
+    from rfx.tracer import Scene
 
     _ = np.asarray(jnp.ones((8, 128)))
     out = {}

@@ -181,3 +181,31 @@ def test_diff_fused_gradients_match_scan_path():
     # different (equivalent) algebra; f32 rounding differs in the last bits.
     np.testing.assert_allclose(np.asarray(gf_v), np.asarray(gs_v),
                                rtol=1e-2, atol=1e-6 * max(1.0, float(np.abs(np.asarray(gs_v)).max())))
+
+
+def test_fused_record_faces_streaming_layout():
+    """Face recording must also work through the HBM-streaming triangle
+    blocks (face id rides lane 12 of the padded (128,128) block)."""
+    from rfx.bvh import build_bvh
+    from rfx.ops.pallas_fused import replay_from_faces
+
+    mesh = make_terrain(grid=16, extent=30.0, seed=3)
+    scene = Scene.from_mesh(mesh)
+    n, bounces = 1024, 2
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(7), n)
+    tx = jnp.asarray([2.0, 1.0, 9.0], jnp.float32)
+    rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
+
+    flat = build_bvh(mesh, leaf_size=128)
+    ft = make_fused_tracer(flat, max_bounces=bounces, interpret=True, force_stream=True)
+    result, bf = ft(dirs, tx, rx, 1.0, record_faces=True)
+    amp, dist = replay_from_faces(
+        scene.vertices, scene.faces, tx, dirs, rx, jnp.float32(1.0),
+        bf, result.captured, result.num_bounces,
+    )
+    m = np.asarray(result.captured)
+    assert m.sum() > 0
+    assert np.allclose(np.asarray(amp)[m], np.asarray(result.amplitude)[m],
+                       rtol=5e-5, atol=1e-7)
+    assert np.allclose(np.asarray(dist)[m], np.asarray(result.distance)[m],
+                       rtol=2e-5, atol=2e-4)
