@@ -233,7 +233,9 @@ class Tracer:
 
     def compute_coverage(self, tx_pos, tx_power, rx_centers, rx_radius, *,
                          directions=None, rx_batch: int = 64):
-        """(M, nbins) impulse responses for M receivers from a single trace."""
+        """(M, nbins) impulse responses for M receivers from a single trace.
+        Inherits this Tracer's rx_mode (icosphere coverage runs through the
+        map engine; analytic uses the batched Pallas engine on TPU)."""
         dirs, active = self._directions(directions)
         irs = coverage_irs(
             self.scene,
@@ -252,6 +254,7 @@ class Tracer:
             rx_batch=rx_batch,
             env_hit=self.env_hit,
             active=active,
+            rx_mode=self.rx_mode,
         )
         return np.asarray(jax.block_until_ready(irs))
 

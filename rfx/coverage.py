@@ -135,9 +135,30 @@ def coverage_irs(
         scene, tx_pos, directions, max_bounces=max_bounces, n1=n1, n2=n2,
         env_hit=env_hit, active=active,
     )
+    return _irs_from_segments(
+        segs, rx_centers, rx_radius, nbins=nbins, num_rays=num_rays,
+        light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz,
+        tx_power=tx_power, rx_batch=rx_batch, soft=soft, engine=engine,
+        rx_mode=rx_mode,
+    )
+
+
+def _resolve_engine(engine: str, *, soft: bool, rx_mode: str) -> str:
     if engine == "auto":
-        on_tpu = jax.devices()[0].platform != "cpu"
-        engine = "batched" if (on_tpu and not soft and rx_mode == "analytic") else "map"
+        # Strictly TPU: the batched kernel is Mosaic-only; any other backend
+        # (CPU, GPU) must take the portable map engine.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        return "batched" if (on_tpu and not soft and rx_mode == "analytic") else "map"
+    return engine
+
+
+def _irs_from_segments(
+    segs: EnvSegments, rx_centers, rx_radius, *, nbins, num_rays,
+    light_speed_mps, sample_rate_hz, tx_power, rx_batch, soft, engine, rx_mode,
+):
+    """Traceable post-trace half of coverage_irs (shared with the hybrid
+    metric, which reuses the fast pass's segments instead of re-tracing)."""
+    engine = _resolve_engine(engine, soft=soft, rx_mode=rx_mode)
     if engine == "batched":
         if soft:
             raise ValueError("engine='batched' supports hard binning only")
@@ -168,6 +189,18 @@ def coverage_irs(
     )
     irs = jax.lax.map(jax.vmap(fn), centers.reshape(-1, rx_batch, 3))
     return irs.reshape(-1, nbins)[:m]
+
+
+_irs_from_segments_jit = jax.jit(
+    _irs_from_segments,
+    static_argnames=("nbins", "num_rays", "light_speed_mps", "sample_rate_hz",
+                     "tx_power", "rx_batch", "soft", "engine", "rx_mode"),
+)
+
+
+_trace_env_jit = jax.jit(
+    trace_env, static_argnames=("max_bounces", "env_hit")
+)
 
 
 def coverage_dbm(
@@ -288,11 +321,23 @@ def _coverage_dbm_fast_with_cancel(
 ):
     """((M,) dBm, (M,) cancellation ratio, (M,) delay spread s) — phasor pass
     with per-receiver trust diagnostics (see rfx.cir.rx_power_dbm_phasor)."""
-    nbins = int(sample_window_s * sample_rate_hz)
     segs = trace_env(
         scene, tx_pos, directions, max_bounces=max_bounces, n1=n1, n2=n2,
         env_hit=env_hit, active=active,
     )
+    return _dbm_cancel_from_segments(
+        segs, rx_centers, rx_radius, num_rays=num_rays,
+        sample_window_s=sample_window_s, sample_rate_hz=sample_rate_hz,
+        carrier_hz=carrier_hz, light_speed_mps=light_speed_mps,
+        tx_power=tx_power, rx_batch=rx_batch,
+    )
+
+
+def _dbm_cancel_from_segments(
+    segs: EnvSegments, rx_centers, rx_radius, *, num_rays, sample_window_s,
+    sample_rate_hz, carrier_hz, light_speed_mps, tx_power, rx_batch,
+):
+    nbins = int(sample_window_s * sample_rate_hz)
     m = rx_centers.shape[0]
     pad = (-m) % rx_batch
     centers = jnp.concatenate([rx_centers, jnp.zeros((pad, 3), rx_centers.dtype)]) if pad else rx_centers
@@ -304,6 +349,13 @@ def _coverage_dbm_fast_with_cancel(
     )
     dbm, ratio, spread = jax.lax.map(jax.vmap(fn), centers.reshape(-1, rx_batch, 3))
     return dbm.reshape(-1)[:m], ratio.reshape(-1)[:m], spread.reshape(-1)[:m]
+
+
+_dbm_cancel_from_segments_jit = jax.jit(
+    _dbm_cancel_from_segments,
+    static_argnames=("num_rays", "sample_window_s", "sample_rate_hz",
+                     "carrier_hz", "light_speed_mps", "tx_power", "rx_batch"),
+)
 
 
 def coverage_dbm_hybrid(
@@ -341,18 +393,21 @@ def coverage_dbm_hybrid(
         spikes: the sqrt(s_i s_j) cross-support approximation degrades —
         measured up to ~2 dB without any cancellation).
     Measured on a 196-receiver room sweep: max unflagged error 1.13 dB with
-    these defaults (scripts/hybrid_threshold_study.py). The exact fallback
-    uses the batched Pallas coverage kernel, so flagging even most receivers
-    stays far cheaper than the old 71 s full-exact path. Returns ((M,) dBm,
+    these defaults (scripts/hybrid_threshold_study.py). The scene is traced
+    ONCE: the exact fallback reuses the fast pass's env segments (round-4
+    review finding — the first version re-traced). Returns ((M,) dBm,
     n_flagged). Host-side driver (dynamic receiver selection), not jittable.
     """
-    dbm, ratio, spread = _coverage_dbm_fast_with_cancel(
-        scene, tx_pos, directions, rx_centers, rx_radius,
-        max_bounces=max_bounces, num_rays=num_rays,
-        sample_window_s=sample_window_s, sample_rate_hz=sample_rate_hz,
-        carrier_hz=carrier_hz, light_speed_mps=light_speed_mps,
-        tx_power=tx_power, n1=n1, n2=n2, rx_batch=rx_batch,
-        env_hit=env_hit, active=active,
+    segs = _trace_env_jit(
+        scene, jnp.asarray(tx_pos, jnp.float32), directions,
+        max_bounces=max_bounces, n1=n1, n2=n2, env_hit=env_hit, active=active,
+    )
+    dbm, ratio, spread = _dbm_cancel_from_segments_jit(
+        segs, rx_centers, rx_radius, num_rays=num_rays,
+        sample_window_s=float(sample_window_s),
+        sample_rate_hz=float(sample_rate_hz), carrier_hz=float(carrier_hz),
+        light_speed_mps=float(light_speed_mps), tx_power=float(tx_power),
+        rx_batch=rx_batch,
     )
     dbm = np.array(dbm)  # writable copy (np.asarray of a jax array is read-only)
     flagged = np.where(
@@ -365,12 +420,12 @@ def coverage_dbm_hybrid(
         pad = max(rx_batch, 1 << int(np.ceil(np.log2(flagged.size))))
         sel = np.concatenate([flagged, np.repeat(flagged[:1], pad - flagged.size)])
         nbins = int(sample_window_s * sample_rate_hz)
-        irs = coverage_irs(
-            scene, tx_pos, directions, jnp.asarray(np.asarray(rx_centers)[sel]),
-            rx_radius, max_bounces=max_bounces, nbins=nbins, num_rays=num_rays,
-            light_speed_mps=light_speed_mps, sample_rate_hz=sample_rate_hz,
-            tx_power=tx_power, n1=n1, n2=n2, rx_batch=rx_batch,
-            env_hit=env_hit, active=active,
+        irs = _irs_from_segments_jit(
+            segs, jnp.asarray(np.asarray(rx_centers)[sel]), rx_radius,
+            nbins=nbins, num_rays=num_rays,
+            light_speed_mps=float(light_speed_mps),
+            sample_rate_hz=float(sample_rate_hz), tx_power=float(tx_power),
+            rx_batch=rx_batch, soft=False, engine="auto", rx_mode="analytic",
         )
         exact_dbm, _ = rx_power_dbm(irs, sample_window_s, carrier_hz)
         dbm[flagged] = np.asarray(exact_dbm)[: flagged.size]

@@ -62,7 +62,7 @@ _SUB = 128  # segment subtile (one lane tile) for the gated histogram dots
 
 
 def _kernel(planes_ref, centers_ref, out_ref, w_s, qr_s, *, B, Q, nbins,
-            inv_c_rate, t_min):
+            light_speed_mps, sample_rate_hz, t_min):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -113,7 +113,11 @@ def _kernel(planes_ref, centers_ref, out_ref, w_s, qr_s, *, B, Q, nbins,
             first = wb & ~prev  # first capture along the bounce axis
             prev = prev | wb
             total = dist[bb:bb + 1, :] + t_rx[bb:bb + 1, :]
-            binf = total * inv_c_rate
+            # Same two f32 ops as rfx.cir.bin_impulse_response (d / c * rate):
+            # a prefolded (rate/c) multiplier rounds differently and moves
+            # ~260 ppm of segments across a bin boundary (measured), breaking
+            # the bit-equivalence this kernel promises vs the map engine.
+            binf = total / light_speed_mps * sample_rate_hz
             bin_i = binf.astype(jnp.int32)  # truncation (ref tracer.py:115)
             valid = first & (bin_i >= 0) & (bin_i < nbins)
             w = jnp.where(valid, amp[bb:bb + 1, :], 0.0)  # (1, C)
@@ -213,7 +217,8 @@ def coverage_hist_pallas(
             B=B,
             Q=Q,
             nbins=nbins,
-            inv_c_rate=float(sample_rate_hz) / float(light_speed_mps),
+            light_speed_mps=float(light_speed_mps),
+            sample_rate_hz=float(sample_rate_hz),
             t_min=T_MIN_EPS,
         ),
         grid=grid,

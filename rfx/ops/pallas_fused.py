@@ -655,6 +655,14 @@ class FusedTracer:
         scal = scal.at[6].set(r * r)
         scal = scal.at[7].set(jnp.asarray(n1, jnp.float32))
         scal = scal.at[8].set(jnp.asarray(n2, jnp.float32))
+        if record_faces and self.trif.shape[0] * PALLAS_BLOCK > 2 ** 24:
+            # Face ids ride f32 lanes (trif lane 12 + the fc accumulator);
+            # above 2^24 they lose integer exactness and the replay backward
+            # would silently gather wrong faces.
+            raise ValueError(
+                "record_faces supports up to 2^24 padded triangles "
+                f"(mesh has {self.trif.shape[0] * PALLAS_BLOCK})"
+            )
         nodef, nodei, trif = arrays if arrays is not None else (
             self.nodef, self.nodei, self.trif)
         outs = fused_trace_planes(

@@ -53,6 +53,13 @@ def _cache_put(key, fn):
         _FN_CACHE.popitem(last=False)
 
 
+def _cache_get(key):
+    fn = _FN_CACHE.get(key)
+    if fn is not None:
+        _FN_CACHE.move_to_end(key)  # true LRU: hits refresh recency
+    return fn
+
+
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
     """Multi-host bring-up (no-op in single-process runs)."""
     if num_processes is None or num_processes <= 1:
@@ -115,7 +122,7 @@ def sharded_cir(
     key = ("cir", mesh, max_bounces, nbins, float(tx_power), float(light_speed_mps),
            float(sample_rate_hz), float(n1), float(n2), rx_mode, env_hit,
            float(rx_radius), n, soft)
-    fn = _FN_CACHE.get(key)
+    fn = _cache_get(key)
     if fn is None:
         def local(dirs_shard, active_shard, tx, rx, verts, faces):
             result = trace_to_rx(
@@ -189,7 +196,7 @@ def sharded_coverage_irs(
     key = ("cov", mesh, max_bounces, nbins, float(tx_power), float(light_speed_mps),
            float(sample_rate_hz), float(n1), float(n2), env_hit, float(rx_radius),
            rx_batch, n, m, engine)
-    fn = _FN_CACHE.get(key)
+    fn = _cache_get(key)
     if fn is None:
         def local(dirs_shard, centers_shard, tx, verts, faces):
             segs = trace_env(
