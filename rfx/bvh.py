@@ -55,21 +55,27 @@ class FlatBVH:
     def n_padded_tris(self) -> int:
         return int(self.tri_v0.shape[0])
 
+    def children(self, i: int) -> list[int]:
+        """Direct children of node i in the preorder/skip layout (any arity):
+        first child at i+1, each next sibling at the previous child's skip."""
+        out = []
+        c = i + 1
+        end = int(self.skip[i])
+        while c < end:
+            out.append(c)
+            c = int(self.skip[c])
+        return out
+
     def max_depth(self) -> int:
-        # Recover depth from the preorder/skip structure.
+        # Recover depth from the preorder/skip structure (arity-agnostic).
         depth = 0
         stack = [(0, 1)]
         while stack:
             i, d = stack.pop()
             depth = max(depth, d)
             if self.tri_count[i] == 0:
-                left = i + 1
-                right_skip = self.skip[i]
-                # children: left at i+1; right child is found where left's
-                # subtree skips to.
-                stack.append((left, d + 1))
-                if self.skip[left] != right_skip:
-                    stack.append((int(self.skip[left]), d + 1))
+                for c in self.children(i):
+                    stack.append((c, d + 1))
         return depth
 
 
@@ -154,21 +160,99 @@ def _sah_split(order, lo, hi, centroids, bounds_min, bounds_max):
     return lo + nl
 
 
+def collapse_bvh(flat: FlatBVH, arity: int) -> FlatBVH:
+    """Collapse a binary skip-pointer BVH into an n-ary one (round-5 walk
+    optimization): repeatedly replace an internal child by its own children
+    (largest-surface-area child first) until each node has up to `arity`
+    children, then re-emit preorder + skip pointers.
+
+    Leaves — and therefore the padded triangle SoA — are untouched; only the
+    internal-node set shrinks (binary: L-1 internals for L leaves; n-ary:
+    ~(L-1)/(arity-1)). The tile-uniform Pallas walk visits preorder nodes in
+    speculative windows at a roughly fixed cost per window regardless of how
+    many node tests are useful (PROFILE_r04 revised roofline), so fewer,
+    fatter nodes => fewer windows => faster walk. Traversal results are
+    identical by construction (same leaves, each still guarded by its own
+    AABB; only intermediate culling levels are removed).
+    """
+    if arity <= 2:
+        return flat
+    is_leaf = flat.tri_count > 0
+    ext = np.maximum(flat.aabb_max - flat.aabb_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    def wide_children(i):
+        kids = flat.children(i)
+        while len(kids) < arity:
+            best, best_a = -1, -1.0
+            for j, k in enumerate(kids):
+                if not is_leaf[k] and area[k] > best_a:
+                    best_a, best = float(area[k]), j
+            if best < 0:
+                break
+            kids[best : best + 1] = flat.children(kids[best])
+        return kids
+
+    new_min, new_max, new_start, new_count, new_skip = [], [], [], [], []
+    # Iterative preorder emit with explicit close markers (no recursion limit).
+    stack = [(0, False)]
+    while stack:
+        i, closing = stack.pop()
+        if closing:
+            new_skip[i] = len(new_min)  # i is a NEW index here
+            continue
+        idx = len(new_min)
+        new_min.append(flat.aabb_min[i])
+        new_max.append(flat.aabb_max[i])
+        new_skip.append(0)
+        if is_leaf[i]:
+            new_start.append(int(flat.tri_start[i]))
+            new_count.append(int(flat.tri_count[i]))
+            new_skip[idx] = idx + 1
+        else:
+            new_start.append(0)
+            new_count.append(0)
+            stack.append((idx, True))
+            for c in reversed(wide_children(i)):
+                stack.append((c, False))
+    return FlatBVH(
+        aabb_min=np.asarray(new_min, np.float32),
+        aabb_max=np.asarray(new_max, np.float32),
+        tri_start=np.asarray(new_start, np.int32),
+        tri_count=np.asarray(new_count, np.int32),
+        skip=np.asarray(new_skip, np.int32),
+        tri_v0=flat.tri_v0,
+        tri_e1=flat.tri_e1,
+        tri_e2=flat.tri_e2,
+        tri_face=flat.tri_face,
+        leaf_size=flat.leaf_size,
+    )
+
+
 def build_bvh(
-    mesh: TriangleMesh, leaf_size: int = LEAF_SIZE, method: str = "auto", split: str = "sah"
+    mesh: TriangleMesh, leaf_size: int = LEAF_SIZE, method: str = "auto", split: str = "sah",
+    arity: int = 2,
 ) -> FlatBVH:
     """Build the flat BVH. method: 'numpy' | 'native' | 'auto' (native when the
     compiled builder is available and the mesh is large). split: 'sah' (binned
-    surface-area heuristic, numpy builder) or 'median' (centroid median; the
-    native builder always uses median)."""
+    surface-area heuristic) or 'median' (centroid median). arity > 2 collapses
+    the binary tree into an n-ary one (see collapse_bvh)."""
     if method == "auto":
-        # The numpy SAH builder produces measurably better trees for the
-        # Pallas tile-uniform walk; prefer it unless the caller forces native.
-        method = "numpy"
+        # The native (C++) SAH builder produces the same tree quality at a
+        # fraction of the host build time; the numpy path remains the
+        # reference. Cross over where the numpy build time becomes material
+        # (~100k tris; measured 29.9 s at 1M tris in LARGEMESH_r04).
+        from rfx.ops import native_lib
+
+        if mesh.num_faces > 100_000 and native_lib.native_available():
+            method = "native"
+        else:
+            method = "numpy"
     if method == "native":
         from rfx.ops.native_lib import build_bvh_native
 
-        return build_bvh_native(mesh, leaf_size)
+        flat = build_bvh_native(mesh, leaf_size, split=split)
+        return collapse_bvh(flat, arity)
 
     tri = mesh.triangles().astype(np.float32)  # (F, 3, 3)
     f = tri.shape[0]
@@ -238,7 +322,7 @@ def build_bvh(
         tri_e2[pstart : pstart + count] = t[:, 2] - t[:, 0]
         tri_face[pstart : pstart + count] = sel.astype(np.int32)
 
-    return FlatBVH(
+    flat = FlatBVH(
         aabb_min=np.asarray(aabb_min, np.float32),
         aabb_max=np.asarray(aabb_max, np.float32),
         tri_start=np.asarray(tri_start, np.int32),
@@ -250,3 +334,4 @@ def build_bvh(
         tri_face=tri_face,
         leaf_size=leaf_size,
     )
+    return collapse_bvh(flat, arity)

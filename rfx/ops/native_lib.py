@@ -16,7 +16,9 @@ import numpy as np
 __all__ = ["native_available", "build_bvh_native"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "librfx_bvh.so"))
+# Versioned filename: the C ABI gained a split_mode arg in round 5; a stale
+# binary from an earlier checkout must never be loaded.
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "librfx_bvh_v2.so"))
 _LIB = None
 _TRIED = False
 
@@ -44,7 +46,7 @@ def _load():
         return None
     lib.rfx_bvh_build.restype = ctypes.c_void_p
     lib.rfx_bvh_build.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.rfx_bvh_n_nodes.restype = ctypes.c_int
     lib.rfx_bvh_n_nodes.argtypes = [ctypes.c_void_p]
@@ -65,9 +67,10 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def build_bvh_native(mesh, leaf_size: int):
-    """TriangleMesh -> FlatBVH via the C++ builder (same layout contract as
-    rfx.bvh.build_bvh's NumPy path)."""
+def build_bvh_native(mesh, leaf_size: int, split: str = "sah"):
+    """TriangleMesh -> FlatBVH via the C++ builder (same layout contract and
+    split heuristics — binned SAH / centroid median — as rfx.bvh.build_bvh's
+    NumPy path)."""
     from rfx.bvh import FlatBVH
 
     lib = _load()
@@ -76,7 +79,7 @@ def build_bvh_native(mesh, leaf_size: int):
     tris = np.ascontiguousarray(mesh.triangles().reshape(-1, 9), dtype=np.float32)
     f = tris.shape[0]
     fp = tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    h = lib.rfx_bvh_build(fp, f, leaf_size)
+    h = lib.rfx_bvh_build(fp, f, leaf_size, 1 if split == "sah" else 0)
     try:
         n_nodes = lib.rfx_bvh_n_nodes(h)
         p = lib.rfx_bvh_n_padded(h)

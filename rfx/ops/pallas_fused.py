@@ -62,7 +62,8 @@ _DEAD = 1e9  # parked-ray origin (matches rfx.tracer's park sentinel)
 def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                   capt_ref, capa_ref, capd_ref, nb_ref, *rest,
                   sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
-                  pack=False, record_faces=False, cone_filter=False):
+                  pack=False, record_faces=False, cone_filter=False,
+                  count_stats=False):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -83,10 +84,12 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     # see fused docstring): one extra output ref + one extra walk accumulator.
     rest = list(rest)
     faces_ref = rest.pop(0) if record_faces else None
+    stats_ref = rest.pop(0) if count_stats else None
     o_s, d_s, i_s, t_s, nx_s, ny_s, nz_s, amp_s, dist_s, alive_s = rest[:10]
     rest = rest[10:]
     fc_s = rest.pop(0) if record_faces else None
     cone_s = rest.pop(0) if cone_filter else None
+    stat_s = rest.pop(0) if count_stats else None
     tcap_ref, agenda_ref, *tri_scratch = rest
 
     n_nodes = nodef_ref.shape[1]
@@ -120,6 +123,9 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     nb_ref[0] = jnp.zeros((sub, 128), jnp.int32)
     if record_faces:
         faces_ref[0] = jnp.full((max_bounces, sub, 128), -1, jnp.int32)
+    if count_stats:
+        for j in range(2 * max_bounces):
+            stat_s[j] = jnp.int32(0)
 
     def group_visit(bases, head_for_slot):
         """Batched MT over `group` leaves, folding t and the winning
@@ -422,10 +428,22 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
         # The bounce while_loop's condition guarantees at least one alive ray,
         # so the walk always engages here.
-        _, head, tail = lax.while_loop(
-            lambda s: s[0] < n_nodes, walk_body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        )
+        if count_stats:
+            # Counter-instrumented walk (round-5: measure the scalar-walk
+            # roofline instead of modeling it): windows = walk_body
+            # iterations, leaf visits = final agenda tail.
+            _, head, tail, nwin = lax.while_loop(
+                lambda s: s[0] < n_nodes,
+                lambda s: (*walk_body(s[:3]), s[3] + 1),
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            )
+            stat_s[2 * b] = nwin
+            stat_s[2 * b + 1] = tail
+        else:
+            _, head, tail = lax.while_loop(
+                lambda s: s[0] < n_nodes, walk_body,
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            )
         lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
 
         # --- physics + capture fold (vector, per plane) --------------------
@@ -498,13 +516,23 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         bounce_body,
         jnp.int32(0),
     )
+    if count_stats:
+        # Per-tile counters out: row 0, lane 2b = windows, lane 2b+1 = leaf
+        # visits of bounce b (zeros for bounces the early exit skipped).
+        row = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+        plane = jnp.zeros((sub, 128), jnp.int32)
+        for j in range(2 * max_bounces):
+            plane = jnp.where((row == 0) & (col == j), stat_s[j], plane)
+        stats_ref[0] = plane
 
 
 @partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec",
-                                   "interpret", "pack", "record_faces", "cone_filter"))
+                                   "interpret", "pack", "record_faces", "cone_filter",
+                                   "count_stats"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
                        stream=False, k_spec=_K_SPEC, interpret=False, pack=False,
-                       record_faces=False, cone_filter=False):
+                       record_faces=False, cone_filter=False, count_stats=False):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
     shape (tiles, sub, 128). With record_faces also returns a
@@ -541,8 +569,13 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
             jax.ShapeDtypeStruct((tiles, max_bounces, sub, 128), jnp.int32)
         ]
         scratch = scratch + [sp()]  # fc accumulator
+    if count_stats:
+        out_specs = out_specs + [out_spec]
+        out_shape = out_shape + [plane(jnp.int32)]
     if cone_filter:
         scratch = scratch + [pltpu.SMEM((12,), jnp.float32)]  # per-bounce cone
+    if count_stats:
+        scratch = scratch + [pltpu.SMEM((2 * max_bounces,), jnp.int32)]
     scratch += [
         pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
         pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
@@ -558,7 +591,7 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
     return pl.pallas_call(
         partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
                 stream=stream, k_spec=k_spec, pack=pack, record_faces=record_faces,
-                cone_filter=cone_filter),
+                cone_filter=cone_filter, count_stats=count_stats),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -596,7 +629,8 @@ class FusedTracer:
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
                  interpret: bool = False, force_stream: bool = False,
-                 pack: bool = False, cone_filter: bool = False):
+                 pack: bool = False, cone_filter: bool = False,
+                 count_stats: bool = False):
         if tile_rays is None:
             tile_rays = self.DEFAULT_TILE_RAYS
         if 128 % flat.leaf_size or flat.leaf_size < 16:
@@ -617,6 +651,7 @@ class FusedTracer:
         self.k_spec = k_spec
         self.pack = pack
         self.cone_filter = cone_filter
+        self.count_stats = count_stats
         self.interpret = interpret
 
     def arrays(self):
@@ -670,7 +705,7 @@ class FusedTracer:
             sub=sub, leaf=self.leaf, max_bounces=self.max_bounces,
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
             pack=self.pack, record_faces=record_faces,
-            cone_filter=self.cone_filter,
+            cone_filter=self.cone_filter, count_stats=self.count_stats,
         )
         capt, capa, capd, nb = outs[:4]
         from rfx.tracer import TraceResult
@@ -681,11 +716,17 @@ class FusedTracer:
             distance=capd.reshape(m)[:n],
             num_bounces=nb.reshape(m)[:n],
         )
+        extras = [result]
+        k = 4
         if record_faces:
             # (tiles, B, sub, 128) -> (B, N)
-            bf = jnp.moveaxis(outs[4], 1, 0).reshape(self.max_bounces, m)[:, :n]
-            return result, bf
-        return result
+            extras.append(
+                jnp.moveaxis(outs[k], 1, 0).reshape(self.max_bounces, m)[:, :n])
+            k += 1
+        if self.count_stats:
+            # (tiles, 2B) i32: per-tile [windows_b0, leaves_b0, windows_b1, ...]
+            extras.append(outs[k][:, 0, : 2 * self.max_bounces])
+        return extras[0] if len(extras) == 1 else tuple(extras)
 
 
 def replay_from_faces(vertices, faces_tbl, tx_pos, directions, rx_pos, rx_radius,
@@ -799,15 +840,28 @@ def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
     return diff_trace
 
 
-def make_fused_tracer(flat_or_mesh, *, max_bounces: int, **kwargs) -> FusedTracer:
+# Default n-ary collapse for the fused walk (see rfx.bvh.collapse_bvh): the
+# tile-uniform walk pays ~fixed cost per k_spec-node window, so fewer, fatter
+# nodes mean fewer windows. Swept on hardware in round 5
+# (scripts/exp_r5_arity.py).
+FUSED_DEFAULT_ARITY = 2
+
+
+def make_fused_tracer(flat_or_mesh, *, max_bounces: int,
+                      arity: int | None = None, **kwargs) -> FusedTracer:
     """Build a FusedTracer from a FlatBVH or a TriangleMesh (builds the BVH
     with the same leaf-size policy as make_pallas_env_hit: 16 for
-    VMEM-resident meshes, 128 for >512k-padded-tri HBM-streaming ones)."""
+    VMEM-resident meshes, 128 for >512k-padded-tri HBM-streaming ones).
+    `arity` collapses the tree n-ary for the walk (default
+    FUSED_DEFAULT_ARITY; ignored when a prebuilt FlatBVH is passed)."""
+    if arity is None:
+        arity = FUSED_DEFAULT_ARITY
     if isinstance(flat_or_mesh, FlatBVH):
         flat = flat_or_mesh
     else:
         big = flat_or_mesh.num_faces > 0.75 * STREAM_TRI_THRESHOLD
-        flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK if big else PALLAS_LEAF)
+        flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK if big else PALLAS_LEAF,
+                         arity=arity)
         if not big and flat.n_padded_tris > STREAM_TRI_THRESHOLD:
-            flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK)
+            flat = build_bvh(flat_or_mesh, leaf_size=PALLAS_BLOCK, arity=arity)
     return FusedTracer(flat, max_bounces=max_bounces, **kwargs)
