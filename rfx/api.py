@@ -163,19 +163,27 @@ class Tracer:
         return padded, active
 
     # -- reference-parity API -------------------------------------------------
+    #: record_paths="auto" records paths only for batches at or below this
+    #: ray count (a 256k-ray x 4-bounce path buffer is ~12 MB — interactive
+    #: scale; the flagship 5M-ray buffer is 240 MB and stays opt-in).
+    AUTO_PATHS_MAX_RAYS = 262_144
+
     def compute_cir(self, tx_pos, tx_power, rx_pos, rx_radius, *,
-                    directions=None, record_paths: bool = False,
+                    directions=None, record_paths="auto",
                     max_paths: int = 10_000):
         """(paths, impulse_response) — reference semantics (ref tracer.py:63).
 
         `directions`: optional (N, 3) array for reproducible runs; defaults to
         tx_num_rays fresh PRNG directions. Returns numpy outputs.
 
-        `record_paths` defaults to False: path vertices are only needed for
-        visualization, and recording them materializes a (B, N, 3) buffer
-        (240 MB at 5M rays x 4 bounces — the reference round-trips that much
-        every call, ref tracer.py:67-84; we only pay it on request). With
-        record_paths=False the returned `paths` list is empty.
+        `record_paths` defaults to "auto": the reference always returns the
+        cleaned path list (ref tracer.py:90-97,121), but recording paths
+        materializes a (B, N, 3) buffer (240 MB at 5M rays x 4 bounces — the
+        reference round-trips that much every call, ref tracer.py:67-84).
+        "auto" keeps the drop-in contract for interactive batch sizes
+        (<= AUTO_PATHS_MAX_RAYS rays record paths like the reference) while
+        large batches skip recording and return `paths == []`. Pass
+        True/False to force either behavior.
 
         Performance cliff (documented): the fused megakernel forward path is
         only used when backend='pallas', rx_mode='analytic', AND
@@ -188,6 +196,10 @@ class Tracer:
         import time
 
         t0 = time.perf_counter()
+        if record_paths == "auto":
+            n_req = (self.tx_num_rays if directions is None
+                     else int(np.shape(directions)[0]))
+            record_paths = n_req <= self.AUTO_PATHS_MAX_RAYS
         if self._fused is not None and not record_paths:
             if directions is None:
                 self.key, sub = jax.random.split(self.key)
@@ -234,8 +246,16 @@ class Tracer:
     def compute_coverage(self, tx_pos, tx_power, rx_centers, rx_radius, *,
                          directions=None, rx_batch: int = 64):
         """(M, nbins) impulse responses for M receivers from a single trace.
-        Inherits this Tracer's rx_mode (icosphere coverage runs through the
-        map engine; analytic uses the batched Pallas engine on TPU)."""
+
+        Inherits this Tracer's rx_mode. Performance note (documented cliff):
+        rx_mode="icosphere" (the reference's 80-face tessellation,
+        ref tracer.py:26-30) runs only through the slow map engine — measured
+        ~8x the analytic engine's cost at the reference 2048-receiver
+        workload (~71 s vs 6.7 s warm on v5e, COVERAGE_EXACT_r04) — because
+        the batched Pallas histogram kernel bakes in the analytic sphere.
+        Use the default rx_mode="analytic" unless strict geometric parity
+        with the reference's tessellated receiver is required (the two agree
+        to ~1-2% capture cross-section, tests/test_oracle.py)."""
         dirs, active = self._directions(directions)
         irs = coverage_irs(
             self.scene,
@@ -289,10 +309,14 @@ class Tracer:
                                     carrier_hz: float = 2.4e9, directions=None,
                                     rx_batch: int = 64,
                                     cancel_threshold: float = 0.5,
-                                    spread_threshold_s: float = 10e-9):
+                                    spread_threshold_s: float = 10e-9,
+                                    exact_fallback_frac: float = 0.15):
         """((M,) dBm, n_flagged): phasor fast path with exact re-evaluation of
         receivers flagged as cancellation-dominated (bounded worst-case error;
-        see rfx.coverage.coverage_dbm_hybrid)."""
+        see rfx.coverage.coverage_dbm_hybrid). When more than
+        `exact_fallback_frac` of receivers are flagged, every receiver is
+        re-evaluated through the exact engine instead (same single trace) —
+        cheaper than the padded subset and strictly more accurate."""
         from rfx.coverage import coverage_dbm_hybrid
 
         dirs, active = self._directions(directions)
@@ -316,6 +340,7 @@ class Tracer:
             active=active,
             cancel_threshold=cancel_threshold,
             spread_threshold_s=spread_threshold_s,
+            exact_fallback_frac=exact_fallback_frac,
         )
         return dbm, n_flagged
 

@@ -17,6 +17,15 @@ import jax.numpy as jnp
 
 __all__ = ["bin_impulse_response", "cir_from_trace", "rx_power_dbm", "rx_power_dbm_phasor", "to_dbm"]
 
+# Shared precision for every one-hot selection-sum matmul (the map engine
+# below AND the Pallas coverage kernel, which imports this so the two binning
+# engines stay bit-equivalent). TPU DEFAULT truncates f32 operands toward
+# bf16 (~0.15% bin error, measured). HIGH (3 bf16 passes) is exact here: the
+# one-hot operand's {0,1} values decompose into bf16 with zero residual, so
+# every partial product is exact and the f32 accumulation sums the same
+# nonzero values in the same order as HIGHEST — at half HIGHEST's cost.
+BINNING_PRECISION = jax.lax.Precision.HIGH
+
 
 def _bincount_matmul(bins: jnp.ndarray, weights: jnp.ndarray, nbins: int) -> jnp.ndarray:
     """Weighted histogram as two one-hot matmuls (MXU) instead of scatter-add.
@@ -50,14 +59,10 @@ def _bincount_matmul(bins: jnp.ndarray, weights: jnp.ndarray, nbins: int) -> jnp
         q, r, w = args
         a = jnp.where(q[None, :] == qi[:, None], w[None, :], 0.0)  # (Q, C)
         b = (r[None, :] == ri[:, None]).astype(w.dtype)  # (128, C)
-        # Precision.HIGH: the TPU's DEFAULT matmul precision truncates f32
-        # operands toward bf16 (measured ~0.15% error on single-path bins via
-        # the coverage kernel — enough to break the documented scatter
-        # equivalence). HIGH = 3 bf16 passes reconstructs ~full f32 (~1e-7
-        # relative), at half the cost of HIGHEST's 6 passes.
+        # See BINNING_PRECISION: exact for one-hot selection sums.
         return acc + jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=BINNING_PRECISION,
         ), None
 
     acc0 = jnp.zeros((q_size, 128), jnp.float32)

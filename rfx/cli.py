@@ -151,7 +151,12 @@ def cmd_cir(args) -> int:
         from rfx import sampler as _sampler2
         import jax as _jax2
 
-        n_viz = min(cfg.num_rays, 262_144)
+        # Cap well below num_rays (round-4 advisor: at num_rays <= 262k the
+        # old min(num_rays, 262144) re-traced the ENTIRE batch through the
+        # ~35%-slower scan path, roughly doubling small runs). A quarter of
+        # the batch (floored at 4096 rays so tiny runs still catch paths)
+        # keeps the secondary trace a small fraction of total time.
+        n_viz = min(max(cfg.num_rays // 4, 4096), 262_144, cfg.num_rays)
         viz_dirs = _sampler2.sphere_directions(
             _jax2.random.fold_in(_jax2.random.PRNGKey(cfg.seed), 7919), n_viz
         )

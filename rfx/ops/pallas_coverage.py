@@ -148,13 +148,15 @@ def _kernel(planes_ref, centers_ref, out_ref, w_s, qr_s, *, B, Q, nbins,
                         jnp.broadcast_to(q_col, (_SUB, Q)) == qi_full,
                         jnp.broadcast_to(w_col, (_SUB, Q)), 0.0,
                     )  # (128, Q)
-                    # HIGHEST: the default TPU matmul precision is bf16-ish
-                    # (measured ~0.15% error on single-path bins); the
-                    # histogram is a selection-sum and must be f32-exact.
+                    # rfx.cir.BINNING_PRECISION (shared with the map engine's
+                    # matmul binning so the two engines stay bit-equivalent):
+                    # exact for one-hot selection sums, see its comment.
+                    from rfx.cir import BINNING_PRECISION
+
                     out_ref[pl.ds(r * _SUB, _SUB), :] += jax.lax.dot_general(
                         bm, a_t, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=BINNING_PRECISION,
                     )
 
 

@@ -128,9 +128,18 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             stat_s[j] = jnp.int32(0)
 
     def group_visit(bases, head_for_slot):
-        """Batched MT over `group` leaves, folding t and the winning
+        """Batched MT over `len(bases)` leaves, folding t and the winning
         triangle's unit normal into the walk accumulator refs. Same layout
-        and tie-break discipline as pallas_trace._kernel.group_visit."""
+        and tie-break discipline as pallas_trace._kernel.group_visit.
+
+        `bases` may be any length 1..group: the walk drains full groups
+        (PALLAS_BLOCK candidates), while the flush drains its remainder with
+        right-sized blocks (len*leaf candidate rows) — round-5 fix: the old
+        duplicate-padded full-block flush cost a full 128-candidate MT pass
+        per tile-bounce even when only 1-2 leaves were pending, ~1.3 us of
+        pure padding waste per tile at bounce 0."""
+        k = len(bases)
+        nrows = k * leaf
         t_best = t_s[:]
         nx_best, ny_best, nz_best = nx_s[:], ny_s[:], nz_s[:]
         fc_best = fc_s[:] if record_faces else None
@@ -148,11 +157,16 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                 blk = b // PALLAS_BLOCK
                 off = pl.multiple_of(b % PALLAS_BLOCK, leaf)
                 tris.append(trif_ref[blk, pl.ds(off, leaf), :])
-            tri = tris[0] if group == 1 else jnp.concatenate(tris, axis=0)
-        gbase = jnp.zeros((PALLAS_BLOCK, 1), jnp.int32)
+            tri = tris[0] if k == 1 else jnp.concatenate(tris, axis=0)
+        if nrows == PALLAS_BLOCK:
+            slot_c, loc_c = slot_col, loc_col
+        else:
+            slot_c = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) // leaf
+            loc_c = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) % leaf
+        gbase = jnp.zeros((nrows, 1), jnp.int32)
         for g, b in enumerate(bases):
-            gbase = jnp.where(slot_col == g, b, gbase)
-        gidx_col = gbase + loc_col
+            gbase = jnp.where(slot_c == g, b, gbase)
+        gidx_col = gbase + loc_c
         big_i = jnp.int32(2**30)
 
         v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
@@ -279,7 +293,15 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         """Scalar conservative cone-vs-node-AABB test (True = maybe hit, and
         always True for wide cones). Expands each AABB half-extent by
         r0 + grow * t and intersects the per-axis t-intervals of the axis
-        ray (see rfx.ops.pallas_trace.cone_node_hit for the derivation)."""
+        ray (see rfx.ops.pallas_trace.cone_node_hit for the derivation).
+
+        Scene-scale assumption (round-4 advisor): the initial t_hi of 1e6
+        bounds the cone's reach, so a node only reachable beyond t=1e6 scene
+        units could be culled even though a ray might legally hit it (ray
+        queries themselves use MISS_THRESHOLD ~1e30). Scenes must therefore
+        fit within ~1e6 units of the TX for cone_filter=True (every bundled
+        scene is <100 units; the filter is also default-off — it measured
+        3.3x slower, CONE_r04.json)."""
         wide = cone_s[8] > 0.5
         c_sin = cone_s[7]
         c_r0 = cone_s[6]
@@ -396,14 +418,28 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             head = head + jnp.where(drained, group, 0)
         return cur, head, tail
 
-    def flush_body(state):
+    def flush_full(state):
         head, tail = state
-        last = tail - 1
-        bases = [
-            agenda_ref[jnp.minimum(head + g, last) & cap_mask] for g in range(group)
-        ]
-        group_visit(bases, head)
-        return jnp.minimum(head + group, tail), tail
+        group_visit([agenda_ref[(head + g) & cap_mask] for g in range(group)], head)
+        return head + group, tail
+
+    def flush_pending(head, tail):
+        """Drain everything left on the agenda: full groups first, then the
+        remainder (< group leaves) via binary-sized partial drains — no
+        duplicate padding (see group_visit)."""
+        head, tail = lax.while_loop(
+            lambda s: s[1] - s[0] >= group, flush_full, (head, tail)
+        )
+        kk = group // 2
+        while kk >= 1:
+            take = tail - head >= kk
+
+            @pl.when(take)
+            def _(h=head, k=kk):
+                group_visit([agenda_ref[(h + g) & cap_mask] for g in range(k)], h)
+
+            head = head + jnp.where(take, kk, 0)
+            kk //= 2
 
     eps = jnp.float32(1e-30)
 
@@ -444,7 +480,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                 lambda s: s[0] < n_nodes, walk_body,
                 (jnp.int32(0), jnp.int32(0), jnp.int32(0))
             )
-        lax.while_loop(lambda s: s[0] < s[1], flush_body, (head, tail))
+        flush_pending(head, tail)
 
         # --- physics + capture fold (vector, per plane) --------------------
         ox, oy, oz = o_s[0], o_s[1], o_s[2]

@@ -101,10 +101,10 @@ def make_inverse_solver(
         )
 
     if mesh is None:
-        def loss_fn(params):
-            irs = irs_fn(params, directions, rx_centers)
+        def loss_fn(params, dirs, centers, tgt):
+            irs = irs_fn(params, dirs, centers)
             energy = jnp.sum(irs * irs, axis=1)
-            return jnp.mean((energy - target_energy) ** 2)
+            return jnp.mean((energy - tgt) ** 2)
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -128,15 +128,25 @@ def make_inverse_solver(
             check_vma=False,
         )
 
-        def loss_fn(params):
-            return sharded(params, directions, rx_centers, target_energy)
+        def loss_fn(params, dirs, centers, tgt):
+            return sharded(params, dirs, centers, tgt)
 
+    # Data arrays ride as jit ARGUMENTS, not closures: under a multi-process
+    # mesh, closing over an array that spans non-addressable devices is a
+    # RuntimeError at trace time (jax refuses to constant-fold it); the same
+    # pattern the relay's AOT size limit forces on large meshes
+    # (FusedTracer.arrays()).
     @jax.jit
-    def step_fn(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def _step(params, opt_state, dirs, centers, tgt):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, dirs, centers, tgt)
+        )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step_fn(params, opt_state):
+        return _step(params, opt_state, directions, rx_centers, target_energy)
 
     def init_fn(tx0, n1_0=5.0, vertices0=None):
         """vertices0: optional (V, 3) starting geometry — adds the scene

@@ -175,6 +175,18 @@ def test_coverage_dbm_hybrid_bounds_error(box_room):
     err = np.abs(hybrid[ok] - exact[ok])
     assert err.max() < 1.3, f"hybrid max err {err.max():.2f} dB"
 
+    # Auto-selection (round-4 VERDICT #5): when the flag rate exceeds
+    # exact_fallback_frac, every receiver goes through the exact engine —
+    # the result must then match exact-everywhere to numerical noise.
+    wholesale, n_flagged2 = coverage_dbm_hybrid(
+        scene, tx, dirs, centers, jnp.float32(1.0),
+        max_bounces=2, num_rays=n, sample_window_s=window, sample_rate_hz=rate,
+        rx_batch=10, exact_fallback_frac=0.0,
+    )
+    assert n_flagged2 == n_flagged
+    werr = np.abs(np.asarray(wholesale)[ok] - exact[ok])
+    assert werr.max() < 1e-3, f"wholesale fallback diverges from exact: {werr.max()}"
+
 
 def test_coverage_icosphere_mode_matches_per_rx_trace(box_room):
     """Strict-parity receiver tessellation in the coverage engine (the

@@ -80,7 +80,11 @@ def test_facade_fused_path_matches_scan_cir():
     tr_fused = Tracer(mesh, max_bounces=3, tx_num_rays=n, backend="pallas",
                       interpret=True)
     assert tr_fused._fused is not None
-    paths, ir_fused = tr_fused.compute_cir(tx, 1.0, rx, 1.0, directions=dirs)
+    # record_paths=False forces the fused routing (the "auto" default records
+    # paths for small batches like this one, which takes the scan fallback —
+    # covered by test_api.test_record_paths_auto).
+    paths, ir_fused = tr_fused.compute_cir(tx, 1.0, rx, 1.0, directions=dirs,
+                                           record_paths=False)
     assert paths == []
 
     tr_scan = Tracer(mesh, max_bounces=3, tx_num_rays=n, backend="bvh")
