@@ -90,7 +90,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     fc_s = rest.pop(0) if record_faces else None
     cone_s = rest.pop(0) if cone_filter else None
     stat_s = rest.pop(0) if count_stats else None
-    tcap_ref, agenda_ref, *tri_scratch = rest
+    alive_sm, agenda_ref, *tri_scratch = rest
 
     n_nodes = nodef_ref.shape[1]
     t_min = jnp.float32(T_MIN_EPS)
@@ -212,8 +212,10 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             if record_faces:
                 fcl = jnp.min(jnp.where(sel, cfc, big), axis=0, keepdims=True)
                 fc_rows.append(jnp.where(upd, fcl, fc_best[r : r + 1, :]))
+        # (No traversal far-plane store here: unlike pallas_trace, nothing in
+        # this kernel reads it — the box test caps per-ray at t_s — and the
+        # max-reduce per drain sat on the serial path. Removed in round 5.)
         new_t = jnp.concatenate(t_rows, axis=0)
-        tcap_ref[0, 0] = jnp.max(new_t)
         t_s[:] = new_t
         nx_s[:] = jnp.concatenate(nx_rows, axis=0)
         ny_s[:] = jnp.concatenate(ny_rows, axis=0)
@@ -455,7 +457,6 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         nz_s[:] = jnp.zeros((sub, 128), jnp.float32)
         if record_faces:
             fc_s[:] = jnp.full((sub, 128), -1.0, jnp.float32)
-        tcap_ref[0, 0] = jnp.float32(_MISS)
         i_s[0] = inv_plane(d_s[0])
         i_s[1] = inv_plane(d_s[1])
         i_s[2] = inv_plane(d_s[2])
@@ -541,14 +542,20 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         amp_s[:] = jnp.where(env_b, amp * fres, amp)
         dist_s[:] = dist + t_adv
         alive_s[:] = env_b.astype(jnp.float32)
+        # Any-alive as an SMEM scalar computed HERE (amid the fold's vector
+        # work, where the reduce overlaps) instead of a vector max-reduce in
+        # the while cond, which serialized ~0.3 us per tile-bounce between
+        # bounces (round-5 counter-driven decomposition).
+        alive_sm[0, 0] = jnp.max(alive_s[:])
         return b + 1
 
     # Whole-tile early exit: a dead ray never revives, so once every ray in
     # the tile is dead the remaining bounces cost nothing (measured: with a
     # fori_loop, bounces 2-3 at 2.7%/0.3% alive still paid ~13/7 ms of
     # physics-fold + loop overhead across the mostly-dead grid).
+    alive_sm[0, 0] = jnp.float32(1.0)
     lax.while_loop(
-        lambda b: (b < max_bounces) & (jnp.max(alive_s[:]) > 0.5),
+        lambda b: (b < max_bounces) & (alive_sm[0, 0] > 0.5),
         bounce_body,
         jnp.int32(0),
     )
@@ -613,7 +620,7 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
     if count_stats:
         scratch = scratch + [pltpu.SMEM((2 * max_bounces,), jnp.int32)]
     scratch += [
-        pltpu.SMEM((1, 1), jnp.float32),  # traversal far plane
+        pltpu.SMEM((1, 1), jnp.float32),  # any-alive scalar for the bounce cond
         pltpu.SMEM((_AGENDA_CAP,), jnp.int32),  # pending-leaf ring
     ]
     if stream:
