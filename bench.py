@@ -116,7 +116,8 @@ def main():
     s, ncap = run(tx, rx, dirs)
     assert float(s) > 0 and int(ncap) > 0, "benchmark trace captured nothing"
 
-    # Per-bounce alive fractions for the roofline model (one extra trace).
+    # Per-bounce alive fractions + in-kernel walk counters (round-5: the
+    # roofline is MEASURED from these, not modeled — VERDICT r4 #2).
     @jax.jit
     def bounce_stats(tx_pos, rx_pos, directions):
         r = ft(directions, tx_pos, rx_pos, 1.0)
@@ -126,6 +127,12 @@ def main():
         )
 
     alive_frac = np.asarray(bounce_stats(tx, rx, dirs))
+
+    ft_stats = make_fused_tracer(mesh, max_bounces=max_bounces, count_stats=True)
+    _r, walk_stats = ft_stats(dirs, tx, rx, 1.0)
+    walk_stats = np.asarray(walk_stats)
+    windows_total = int(walk_stats[:, 0::2].sum())
+    leaves_total = int(walk_stats[:, 1::2].sum())
 
     times = []
     for _ in range(3):
@@ -156,40 +163,47 @@ def main():
         t1.append(time.perf_counter() - t0)
     single_mrays = n_rays / min(t1) / 1e6
 
-    # --- Speed-of-light model (BASELINE.md "speed-of-light Mrays/s/chip") ---
-    # NOTE (round 4): this VPU/HBM model is the bound *if traversal were
-    # free*. PROFILE_r04.json revises it with hardware evidence (per-bounce
-    # split + two measured-negative walk optimizations): the binding resource
-    # is the scalar core driving the tile-uniform walk (~1 us per 8-node
-    # speculative window), and the fused kernel sits near that walk bound.
-    # Two unavoidable costs per trace on one v5e chip:
-    #  1. VPU: every alive ray per bounce must at least be Moller-Trumbore
-    #     tested against one 128-candidate leaf drain (~45 f32 VPU ops per
-    #     ray-triangle pair) — the irreducible intersection work given the
-    #     kernel's 128-wide drain quantum. v5e VPU ~= 4 ALUs x (8x128) lanes
-    #     x 0.94 GHz ~= 3.85e12 f32 ops/s.
-    #  2. HBM: the bounce-loop carry (~13 f32 planes) is read+written once per
-    #     bounce; v5e HBM ~= 819 GB/s.
-    # Everything else (node tests, tile-union overdraw, speculation waste,
-    # drain duplication) is overhead the kernel design tries to minimize.
+    # --- Measured walk roofline (round-5, replaces the r3/r4 models) -------
+    # The in-kernel counters (count_stats) measure the traversal directly:
+    #   - US_PER_WINDOW = 0.233 us per k_spec=8 speculative window, fitted
+    #     across four tree arities with identical leaf work (ARITY_r05.json;
+    #     the r3 "~1 us/window, walk is ~95%" model was off 4x on cost and
+    #     2.3x on window count — windows are ~45% of trace time).
+    #   - US_PER_LEAF_VISIT = 0.22 us of batched-MT drain work per pushed
+    #     leaf (8 x (128cand,128ray) MT passes per 8-leaf group; implied by
+    #     the same fits and the leaf-128 comparison, exp_r5_stream.py).
+    # roofline = the throughput if the kernel consisted ONLY of this measured
+    # walk + drain work for the counters this very run recorded. The old
+    # 547.7 Mrays/s VPU/HBM number is kept as a labeled physical floor: it
+    # assumes traversal is free and is not attainable by any tile-uniform
+    # walk on this hardware (PROFILE_r04.json).
+    US_PER_WINDOW = 0.233
+    US_PER_LEAF_VISIT = 0.22
+    t_walk_s = (windows_total * US_PER_WINDOW + leaves_total * US_PER_LEAF_VISIT) * 1e-6
+    roofline_mrays = n_rays / t_walk_s / 1e6
     VPU_OPS = 3.85e12
     HBM_BPS = 819e9
     mt_ops_per_ray = 45.0 * 128.0
     sum_alive = float(alive_frac.sum())
     t_vpu = n_rays * sum_alive * mt_ops_per_ray / VPU_OPS
     t_hbm = n_rays * max_bounces * 13 * 4 * 2 / HBM_BPS
-    roofline_mrays = n_rays / max(t_vpu, t_hbm) / 1e6
+    vpu_floor_mrays = n_rays / max(t_vpu, t_hbm) / 1e6
     print(
         json.dumps(
             {
-                "metric": f"end-to-end CIR trace ({scene_name}, {max_bounces} bounces, {n_rays} rays, 20k-bin IR)",
+                "metric": f"end-to-end CIR trace ({scene_name}, {max_bounces} bounces, {n_rays} rays, 20k-bin IR, pipelined depth {reps})",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
                 "pipeline_depth": reps,
                 "single_dispatch_mrays": round(single_mrays, 2),
+                "vs_baseline_single_dispatch": round(single_mrays / 100.0, 3),
                 "roofline_mrays": round(roofline_mrays, 1),
                 "pct_of_roofline": round(100.0 * mrays / roofline_mrays, 1),
+                "roofline_model": "measured walk+drain floor: windows*0.233us + leaf_visits*0.22us from this run's in-kernel counters (ARITY_r05 fits)",
+                "windows_total": windows_total,
+                "leaf_visits_total": leaves_total,
+                "vpu_floor_mrays": round(vpu_floor_mrays, 1),
                 "alive_frac_per_bounce": [round(float(a), 4) for a in alive_frac],
             }
         )

@@ -96,7 +96,10 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
     t_min = jnp.float32(T_MIN_EPS)
     big = jnp.float32(1e30)
     miss_th = jnp.float32(MISS_THRESHOLD)
-    group = PALLAS_BLOCK // leaf
+    # Streaming drains one leaf per visit (the DMA unit is a 128-row block;
+    # leaf < 128 slices the landed block — round-5: finer streamed leaves cut
+    # the 128-candidate overdraw that dominates large-mesh traces).
+    group = 1 if stream else PALLAS_BLOCK // leaf
     cap_mask = jnp.int32(_AGENDA_CAP - 1)
     loc_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) % leaf
     slot_col = jax.lax.broadcasted_iota(jnp.int32, (PALLAS_BLOCK, 1), 0) // leaf
@@ -150,7 +153,11 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                 trif_ref.at[bases[0] // PALLAS_BLOCK], tri_buf.at[slot],
                 dma_sem.at[slot],
             ).wait()
-            tri = tri_buf[slot]
+            if leaf == PALLAS_BLOCK:
+                tri = tri_buf[slot]
+            else:
+                off = pl.multiple_of(bases[0] % PALLAS_BLOCK, leaf)
+                tri = tri_buf[slot, pl.ds(off, leaf), :]
         else:
             tris = []
             for b in bases:
@@ -174,10 +181,12 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
         cnx, cny, cnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
         cfc = tri[:, 12:13] if record_faces else None
-        t_rows, nx_rows, ny_rows, nz_rows, fc_rows = [], [], [], [], []
         ox8, oy8, oz8 = o_s[0], o_s[1], o_s[2]
         dx8, dy8, dz8 = d_s[0], d_s[1], d_s[2]
-        for r in range(sub):
+
+        def row_work(r):
+            # Per-row fold straight into the accumulator refs (no plane-wide
+            # concat): lets the streaming path predicate whole ray rows.
             oxr, oyr, ozr = ox8[r : r + 1, :], oy8[r : r + 1, :], oz8[r : r + 1, :]
             dxr, dyr, dzr = dx8[r : r + 1, :], dy8[r : r + 1, :], dz8[r : r + 1, :]
             px = e2z * dyr - e2y * dzr
@@ -205,23 +214,25 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             nzl = jnp.min(jnp.where(sel, cnz, big), axis=0, keepdims=True)
             tb = t_best[r : r + 1, :]
             upd = tl < tb
-            t_rows.append(jnp.where(upd, tl, tb))
-            nx_rows.append(jnp.where(upd, nxl, nx_best[r : r + 1, :]))
-            ny_rows.append(jnp.where(upd, nyl, ny_best[r : r + 1, :]))
-            nz_rows.append(jnp.where(upd, nzl, nz_best[r : r + 1, :]))
+            t_s[pl.ds(r, 1)] = jnp.where(upd, tl, tb)
+            nx_s[pl.ds(r, 1)] = jnp.where(upd, nxl, nx_best[r : r + 1, :])
+            ny_s[pl.ds(r, 1)] = jnp.where(upd, nyl, ny_best[r : r + 1, :])
+            nz_s[pl.ds(r, 1)] = jnp.where(upd, nzl, nz_best[r : r + 1, :])
             if record_faces:
                 fcl = jnp.min(jnp.where(sel, cfc, big), axis=0, keepdims=True)
-                fc_rows.append(jnp.where(upd, fcl, fc_best[r : r + 1, :]))
+                fc_s[pl.ds(r, 1)] = jnp.where(upd, fcl, fc_best[r : r + 1, :])
+
         # (No traversal far-plane store here: unlike pallas_trace, nothing in
         # this kernel reads it — the box test caps per-ray at t_s — and the
         # max-reduce per drain sat on the serial path. Removed in round 5.)
-        new_t = jnp.concatenate(t_rows, axis=0)
-        t_s[:] = new_t
-        nx_s[:] = jnp.concatenate(nx_rows, axis=0)
-        ny_s[:] = jnp.concatenate(ny_rows, axis=0)
-        nz_s[:] = jnp.concatenate(nz_rows, axis=0)
-        if record_faces:
-            fc_s[:] = jnp.concatenate(fc_rows, axis=0)
+        # NOTE (round-5 negative result, exp_r5_stream.py): predicating each
+        # row on a per-row any-alive SMEM flag (pl.when around row_work) to
+        # skip dead rows in streaming drains LOSES ~20% end-to-end (32k-tri
+        # leaf128: 101.8 -> 123.6 ms; 1M-tri: 344 -> 429 ms) — branch issue
+        # overhead and lost cross-row pipelining exceed the skipped VPU work,
+        # the same failure mode as the r4 scalar cone pre-filter.
+        for r in range(sub):
+            row_work(r)
 
     def box_node_mask(nk):
         """Per-ray slab test -> (sub, 128) bool hit mask (no reduce; the
@@ -679,9 +690,10 @@ class FusedTracer:
         if 128 % flat.leaf_size or flat.leaf_size < 16:
             raise ValueError("fused tracer needs leaf_size in {16,32,64,128}")
         self.stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
-        if self.stream and flat.leaf_size != PALLAS_BLOCK:
+        if self.stream and PALLAS_BLOCK % flat.leaf_size:
             raise ValueError(
-                f"streaming needs leaf_size={PALLAS_BLOCK} (got {flat.leaf_size})"
+                f"streaming needs leaf_size dividing {PALLAS_BLOCK} "
+                f"(got {flat.leaf_size})"
             )
         if tile_rays % 128:
             raise ValueError("tile_rays must be a multiple of 128")
@@ -835,14 +847,23 @@ def replay_from_faces(vertices, faces_tbl, tx_pos, directions, rx_pos, rx_radius
 
 
 def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
-                           n2=1.0, **kwargs):
+                           n2=1.0, grad_args=("vertices", "tx_pos", "directions",
+                                              "rx_pos", "rx_radius"), **kwargs):
     """Differentiable fused tracer: Pallas megakernel forward + recorded-face
     replay backward (round-3 VERDICT #4: fused backward without re-traversal).
 
     Returns diff_trace(vertices, tx_pos, directions, rx_pos, rx_radius) ->
-    TraceResult. Gradients flow to every argument via the replay's VJP; the
-    forward's capture/bounce-count/face record is straight-through (the same
-    selection-freezing as the per-query intersectors' custom VJPs).
+    TraceResult. Gradients flow to every argument named in `grad_args` via
+    the replay's VJP; the forward's capture/bounce-count/face record is
+    straight-through (the same selection-freezing as the per-query
+    intersectors' custom VJPs).
+
+    `grad_args` matters for speed (round-5 backward profiling,
+    GRAD_r05.json): the vertex cotangent scatter-adds 3 x max_bounces (N,3)
+    update streams into the (F,3) triangle tables — XLA's TPU scatter
+    processes ~130M updates/s, so at 2.6M rays x 4 bounces those scatters
+    alone cost more than the whole replay. Excluding "vertices" for
+    tx/direction-only losses (symbolic-zero cotangent) skips them entirely.
 
     `faces_tbl` is the scene's (F, 3) int32 face-index table; `vertices` is
     passed at call time so vertex gradients flow. The BVH (and the kernel's
@@ -852,6 +873,8 @@ def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
     """
     fused = make_fused_tracer(flat_or_mesh, max_bounces=max_bounces, **kwargs)
     faces_tbl = jnp.asarray(faces_tbl)
+    arg_names = ("vertices", "tx_pos", "directions", "rx_pos", "rx_radius")
+    diff_mask = tuple(a in grad_args for a in arg_names)
 
     @jax.custom_vjp
     def diff_trace(vertices, tx_pos, directions, rx_pos, rx_radius):
@@ -870,14 +893,24 @@ def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
         vertices, tx_pos, directions, rx_pos, rx_radius, bf, cap, nb = res
         g_amp = g.amplitude
         g_dist = g.distance
+        args = (vertices, tx_pos, directions, rx_pos,
+                jnp.asarray(rx_radius, jnp.float32))
+        live = [a for a, m in zip(args, diff_mask) if m]
 
-        def amp_dist(v, t, dirs, rx, rr):
+        def amp_dist(*live_args):
+            it = iter(live_args)
+            full = [next(it) if m else jax.lax.stop_gradient(a)
+                    for a, m in zip(args, diff_mask)]
+            v, t, dirs, rx, rr = full
             return replay_from_faces(v, faces_tbl, t, dirs, rx, rr, bf, cap, nb,
                                      n1=n1, n2=n2)
 
-        _, vjp = jax.vjp(amp_dist, vertices, tx_pos, directions, rx_pos,
-                         jnp.asarray(rx_radius, jnp.float32))
-        return vjp((g_amp, g_dist))
+        _, vjp = jax.vjp(amp_dist, *live)
+        cots = iter(vjp((g_amp, g_dist)))
+        return tuple(
+            next(cots) if m else jnp.zeros_like(a)
+            for a, m in zip(args, diff_mask)
+        )
 
     diff_trace.defvjp(_fwd, _bwd)
     return diff_trace

@@ -148,7 +148,11 @@ def trace_to_rx(
     # Derive the carry from `directions` so every leaf inherits its sharding
     # (shard_map tracks varying mesh axes; literal zeros would be unvarying).
     zeros = jnp.zeros_like(dir0[:, 0])
-    pos0 = jnp.asarray(tx_pos, f32)[None, :] + zeros[:, None]
+    tx = jnp.asarray(tx_pos, f32)
+    # tx_pos may be (3,) — the reference's single emitter (ref kernel.py:50)
+    # — or (N, 3) per-ray origins (distributed emitters; also the round-5
+    # per-ray gradient decomposition, scripts/exp_r5_grad.py).
+    pos0 = tx + zeros[:, None] if tx.ndim == 2 else tx[None, :] + zeros[:, None]
     carry0 = dict(
         pos=pos0,
         dir=dir0,

@@ -95,9 +95,12 @@ def test_facade_fused_path_matches_scan_cir():
     assert np.allclose(ir_fused, ir_scan, rtol=1e-4, atol=1e-9)
 
 
-def test_fused_interpret_streaming_layout():
-    """HBM-streaming triangle layout (leaf=128 blocks, DMA per drain) through
-    the fused bounce loop."""
+@pytest.mark.parametrize("leaf,arity", [(128, 2), (64, 4), (32, 4)])
+def test_fused_interpret_streaming_layout(leaf, arity):
+    """HBM-streaming triangle layout (128-row DMA blocks) through the fused
+    bounce loop. leaf < 128 drains a leaf-sized slice of the landed block
+    (round-5: finer streamed leaves cut the 128-candidate overdraw); arity
+    collapse keeps the SMEM node table bounded at large mesh sizes."""
     from rfx.bvh import build_bvh
 
     mesh = make_terrain(grid=16, extent=30.0, seed=3)
@@ -108,7 +111,7 @@ def test_fused_interpret_streaming_layout():
     rx = jnp.asarray([-5.0, 2.0, 6.0], jnp.float32)
 
     ref = trace_to_rx(scene, tx, dirs, rx, 1.0, max_bounces=bounces, rx_mode="analytic")
-    flat = build_bvh(mesh, leaf_size=128)
+    flat = build_bvh(mesh, leaf_size=leaf, arity=arity)
     ft = make_fused_tracer(flat, max_bounces=bounces, interpret=True, force_stream=True)
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
 

@@ -229,11 +229,12 @@ def run_compiled_gradient_checks():
     #    piecewise-linear with kinks every ~0.2 mm of tx motion (35 paths x
     #    3 cm bins x path-length sensitivity ~4), so central differences at
     #    ANY eps average over several slope changes and cannot match the exact
-    #    local AD derivative — scripts/diag_txgrad.py reproduces the identical
-    #    AD value (-3.01e8) and the identical FD instability on CPU with the
-    #    brute intersector, proving the compiled lowering was never wrong.
-    #    A linear functional of (distance, amplitude) has no binning kinks and
-    #    is FD-stable across eps in [3e-4, 3e-3] (scripts/diag_txgrad3.py).
+    #    local AD derivative — the r4 diag_txgrad scripts (pruned in r5, see
+    #    git history at ba25c96) reproduced the identical AD value (-3.01e8)
+    #    and the identical FD instability on CPU with the brute intersector,
+    #    proving the compiled lowering was never wrong. A linear functional of
+    #    (distance, amplitude) has no binning kinks and is FD-stable across
+    #    eps in [3e-4, 3e-3].
     env_hit_nd = make_env_intersector("pallas", mesh=room)
     rngw = np.random.default_rng(7)
     w = jnp.asarray(rngw.normal(size=(dirs.shape[0],)), jnp.float32)
@@ -293,6 +294,63 @@ def run_compiled_gradient_checks():
     rel = np.abs(g_pallas - g_brute) / np.maximum(np.abs(g_brute), 1e-3)
     assert float(rel.max()) < 0.03, (
         f"compiled IR-loss grad pallas vs brute: {g_pallas} vs {g_brute}"
+    )
+    checks += 1
+
+    # 4. FLAGSHIP-SCALE (32k-tri terrain) n1 + vertex FD checks (round-4
+    #    VERDICT #4b: gradient coverage at scale was tx-only; the room checks
+    #    above run on 44 triangles). Same linear-in-outputs loss discipline
+    #    as check 2 so FD sees no binning kinks.
+    from rfx.geometry import make_terrain
+
+    terr = make_terrain(grid=128, extent=60.0, seed=0)
+    tscene = Scene.from_mesh(terr)
+    tdirs = jnp.asarray(sample_sphere_directions(16384, seed=33))
+    ttx = jnp.asarray([10.0, 0.0, 25.0], jnp.float32)
+    trx = jnp.asarray([-10.0, 0.0, 8.0], jnp.float32)
+    env_terr = make_env_intersector("pallas", mesh=terr, differentiable_tris=True)
+    wt = jnp.asarray(np.random.default_rng(11).normal(size=(16384,)), jnp.float32)
+
+    @jax.jit
+    def loss_n1(n1):
+        r = trace_to_rx(tscene, ttx, tdirs, trx, 1.5, max_bounces=3,
+                        rx_mode="analytic", env_hit=env_terr, n1=n1)
+        # n1 only enters the smooth Fresnel factor: selection never moves,
+        # so plain FD on the amplitude sum is clean.
+        return jnp.sum(jnp.where(r.captured, r.amplitude, 0.0)) * 1e3
+
+    g_n1 = float(jax.jit(jax.grad(loss_n1))(jnp.asarray(5.0)))
+    eps = 1e-2
+    fd_n1 = (float(loss_n1(jnp.asarray(5.0 + eps))) -
+             float(loss_n1(jnp.asarray(5.0 - eps)))) / (2 * eps)
+    assert np.isfinite(g_n1) and g_n1 != 0.0
+    assert abs(g_n1 - fd_n1) < 0.05 * max(abs(fd_n1), 1e-6), (
+        f"flagship n1 grad vs FD: ad={g_n1} fd={fd_n1}"
+    )
+    checks += 1
+
+    @jax.jit
+    def loss_vt(vertices):
+        r = trace_to_rx(Scene(vertices, tscene.faces), ttx, tdirs, trx, 1.5,
+                        max_bounces=3, rx_mode="analytic", env_hit=env_terr)
+        cap = r.captured.astype(jnp.float32)
+        return jnp.sum(cap * (wt * r.distance + 10.0 * r.amplitude))
+
+    tv0 = tscene.vertices
+    g_v = jax.jit(jax.grad(loss_vt))(tv0)
+    assert np.all(np.isfinite(np.asarray(g_v))), "flagship vertex grad non-finite"
+    assert float(jnp.sum(jnp.abs(g_v))) > 0.0
+    rngv = np.random.default_rng(13)
+    uv = jnp.asarray(rngv.normal(size=tv0.shape), jnp.float32)
+    uv = uv / jnp.linalg.norm(uv)
+    # eps small enough that the 32k-tri capture/hit set stays fixed across
+    # the FD step (checked implicitly by the tolerance; a flipped face shows
+    # up as a gross FD mismatch).
+    eps = 5e-4
+    fd_v = (float(loss_vt(tv0 + eps * uv)) - float(loss_vt(tv0 - eps * uv))) / (2 * eps)
+    ad_v = float(jnp.vdot(g_v, uv))
+    assert abs(ad_v - fd_v) < 0.10 * max(abs(fd_v), abs(ad_v), 1e-3), (
+        f"flagship vertex grad vs FD: ad={ad_v} fd={fd_v}"
     )
     checks += 1
     return checks
