@@ -148,15 +148,18 @@ def _kernel(planes_ref, centers_ref, out_ref, w_s, qr_s, *, B, Q, nbins,
                         jnp.broadcast_to(q_col, (_SUB, Q)) == qi_full,
                         jnp.broadcast_to(w_col, (_SUB, Q)), 0.0,
                     )  # (128, Q)
-                    # rfx.cir.BINNING_PRECISION (shared with the map engine's
-                    # matmul binning so the two engines stay bit-equivalent):
-                    # exact for one-hot selection sums, see its comment.
-                    from rfx.cir import BINNING_PRECISION
-
+                    # HIGHEST, not rfx.cir.BINNING_PRECISION (HIGH): Mosaic
+                    # only lowers DEFAULT/HIGHEST in-kernel ("Unsupported dot
+                    # precision: HIGH", measured round 5 on v5e). Both HIGH
+                    # (map engine) and HIGHEST decompose the one-hot operand's
+                    # {0,1} values into bf16 with zero residual, so every
+                    # partial product is exact and the two engines still sum
+                    # the same exact values in the same order — the binning
+                    # equivalence holds despite the differing constants.
                     out_ref[pl.ds(r * _SUB, _SUB), :] += jax.lax.dot_general(
                         bm, a_t, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=BINNING_PRECISION,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
 
 

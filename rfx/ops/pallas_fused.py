@@ -679,6 +679,11 @@ class FusedTracer:
     # and 16 at every tile size, and pack=False beats pack=True (90.2 vs
     # 83.0; see packed_hits docstring).
     DEFAULT_TILE_RAYS = 1024
+    # Streaming meshes invert the tradeoff (round-5 sweep at 1M tris,
+    # scripts/exp_r5_stream2.py: 512 -> 276 ms vs 1024 -> 344, 2048 -> 587):
+    # the 128-candidate block drains dominate there, and tighter tiles visit
+    # fewer blocks per ray.
+    DEFAULT_TILE_RAYS_STREAM = 512
 
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
@@ -686,7 +691,9 @@ class FusedTracer:
                  pack: bool = False, cone_filter: bool = False,
                  count_stats: bool = False):
         if tile_rays is None:
-            tile_rays = self.DEFAULT_TILE_RAYS
+            will_stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
+            tile_rays = (self.DEFAULT_TILE_RAYS_STREAM if will_stream
+                         else self.DEFAULT_TILE_RAYS)
         if 128 % flat.leaf_size or flat.leaf_size < 16:
             raise ValueError("fused tracer needs leaf_size in {16,32,64,128}")
         self.stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)

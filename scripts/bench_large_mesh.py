@@ -1,5 +1,7 @@
 """Large-mesh hardware proof: >=1M-triangle terrain through the HBM-streaming
-Pallas path, compiled on the real TPU (round-2 VERDICT missing #3).
+Pallas path, compiled on the real TPU (round-2 VERDICT missing #3; round-5
+VERDICT next #3: native SAH build, counter-based attribution, tile-512
+streaming default).
 
 The reference's flagship scene is the apollo_17 landing-site terrain scan
 (ref main.py:21), a large STL missing from the mirror (SURVEY.md C10); the
@@ -8,7 +10,7 @@ same size class. Beyond STREAM_TRI_THRESHOLD the kernel keeps triangle
 blocks in HBM and DMAs one (128, 128) block per pending leaf (leaf = 128),
 so this run exercises that path end-to-end, compiled.
 
-Outputs LARGEMESH_r04.json:
+Outputs LARGEMESH_r05.json:
   - subsample parity: streaming-TPU query vs the independent jnp BVH
     traversal on CPU (16k rays), plus capture-level trace agreement
   - multi-bounce end-to-end Mrays/s on the 5.24M-ray x 4-bounce CIR workload
@@ -145,6 +147,36 @@ def main():
     best_f = min(times) / reps
     out["fused_seconds_per_trace"] = round(best_f, 4)
     out["fused_mrays_per_s"] = round(n_rays / best_f / 1e6, 2)
+    out["tile_rays"] = ft.tile_rays
+
+    # ---- counter-based attribution (round-5 VERDICT #3: no more unexplained
+    # 6.5x gap). Constants: 0.233 us/window (ARITY_r05 cross-arity fit),
+    # 0.28 us DMA delta per leaf visit (exp_r5_stream.py stream-vs-resident
+    # isolation on an identical tree); the remainder is the 128-candidate
+    # batched-MT drain work, VPU-issue-bound (the SMEM node-table budget
+    # forces leaf=128 at this mesh size: a 27.8k-node leaf-64 table already
+    # fails to compile, measured).
+    fts = FusedTracer(flat, max_bounces=max_bounces, count_stats=True)
+    _rs, wstats = fts(dirs, tx, rx, 2.0, arrays=arrays)
+    wstats = np.asarray(wstats)
+    win_total = int(wstats[:, 0::2].sum())
+    leaf_total = int(wstats[:, 1::2].sum())
+    win_ms = win_total * 0.233e-3
+    dma_ms = leaf_total * 0.28e-3
+    out["walk_counters"] = {
+        "windows_per_bounce": wstats[:, 0::2].sum(0).tolist(),
+        "leaf_visits_per_bounce": wstats[:, 1::2].sum(0).tolist(),
+        "attribution_ms": {
+            "windows": round(win_ms, 1),
+            "dma": round(dma_ms, 1),
+            "drains_fold_fixed": round(best_f * 1e3 - win_ms - dma_ms, 1),
+        },
+        "negative_results": [
+            "per-row alive gating of drains: -20% end-to-end (branch overhead)",
+            "leaf<128 streamed tables exceed the ~850KB SMEM budget at 1M tris",
+            "tile 1024/2048: 344/587 ms vs 276 at 512 (exp_r5_stream2)",
+        ],
+    }
 
     # ---- per-query cross-check at reduced scale (capture-level agreement) ---
     # An eager per-bounce loop over the directly-called per-query intersector
@@ -190,7 +222,7 @@ def main():
         f"fused vs per-query capture divergence: {ncap_fs} vs {ncap_s}"
     )
 
-    with open("LARGEMESH_r04.json", "w") as f:
+    with open("LARGEMESH_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

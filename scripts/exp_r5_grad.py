@@ -163,29 +163,111 @@ def main():
     J_r = np.asarray(jax.jit(jax.grad(subset_loss_replay))(TX0))[:K]
     J_s = np.asarray(jax.jit(jax.grad(subset_loss_scan))(TX0))[:K]
     sum_r, sum_s = J_r.sum(0), J_s.sum(0)
+
+    # f64 anchor: the identical subset replay + soft-bin loss in float64 —
+    # the per-ray ground truth both f32 paths are compared against. MUST run
+    # on CPU: the TPU has no f64 units (first attempt silently produced
+    # garbage — every ray's distance collapsed and the loss came out 210x).
+    cpu = jax.devices("cpu")[0]
+    jax.config.update("jax_enable_x64", True)
+    f64 = jnp.float64
+    # Host copies pinned to CPU: every array the f64 graph touches must live
+    # there or jit would place the computation back on the f64-less TPU.
+    bf_np = np.asarray(bf_k)
+    nb_np = np.asarray(nb_k)
+    act_np = np.asarray(act)
+    with jax.default_device(cpu):
+        dirs64 = jnp.asarray(np.asarray(dirs_k), f64)
+        v064 = jnp.asarray(np.asarray(v0_all), f64)
+        e164 = jnp.asarray(np.asarray(e1_all), f64)
+        e264 = jnp.asarray(np.asarray(e2_all), f64)
+        rx64 = jnp.asarray(np.asarray(rx), f64)
+        bf64 = jnp.asarray(bf_np)
+        nb64 = jnp.asarray(nb_np)
+        act64 = jnp.asarray(act_np)
+
+    def subset_loss64(TXK):
+        o = TXK
+        d = dirs64
+        z = jnp.zeros_like(d[:, 0])
+        amp, dist, cap_amp, cap_dist = z + 1.0, z, z, z
+        for b in range(B):
+            env_b = bf64[b] >= 0
+            cap_b = act64 & (nb64 == b)
+            t_rx = ray_sphere_hit(o, d, rx64, jnp.asarray(1.0, f64))
+            t_rx_safe = jnp.where(cap_b & (t_rx < MISS_THRESHOLD), t_rx, 0.0)
+            cap_amp = jnp.where(cap_b, amp, cap_amp)
+            cap_dist = jnp.where(cap_b, dist + t_rx_safe, cap_dist)
+            f = jnp.clip(bf64[b], 0, None)
+            fv0, fe1, fe2 = v064[f], e164[f], e264[f]
+            t_env = closed_form_t(o, d, fv0, fe1, fe2)
+            t_adv = jnp.where(env_b, t_env, 0.0)
+            nrm = jnp.cross(fe1, fe2)
+            nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+            d_out = physics.reflect(d, nrm)
+            fres = physics.fresnel_bounce_amplitude(
+                physics.bend_angle(d, d_out), 5.0, 1.0)
+            o = jnp.where(env_b[:, None], o + d * t_adv[:, None], o)
+            d = jnp.where(env_b[:, None], d_out, d)
+            amp = jnp.where(env_b, amp * fres, amp)
+            dist = dist + t_adv
+        # inline f64 soft-binned quadratic IR loss (cir.bin_impulse_response
+        # soft semantics, scatter method, amp scaled by tx_power/num_rays)
+        delay = dist / 2.998e8 * 100e9
+        a = jnp.where(act64, cap_amp, 0.0) / n_rays
+        lo = jnp.floor(delay)
+        w = delay - lo
+        lo_i = lo.astype(jnp.int32)
+        vlo = act64 & (lo_i >= 0) & (lo_i < nbins)
+        vhi = act64 & (lo_i + 1 >= 0) & (lo_i + 1 < nbins)
+        ir = jnp.zeros((nbins,), f64)
+        ir = ir.at[jnp.clip(lo_i, 0, nbins - 1)].add(jnp.where(vlo, a * (1 - w), 0.0))
+        ir = ir.at[jnp.clip(lo_i + 1, 0, nbins - 1)].add(jnp.where(vhi, a * w, 0.0))
+        return jnp.sum(ir * ir) * 1e12
+
+    with jax.default_device(cpu):
+        TX64 = jnp.asarray(np.asarray(TX0), f64)
+        l64 = float(subset_loss64(TX64))
+        l32 = float(subset_loss_replay(TX0))
+        assert abs(l64 - l32) < 0.01 * abs(l64), (l64, l32)  # same loss, f64 vs f32
+        J64 = np.asarray(jax.grad(subset_loss64)(TX64))[:K]
+    jax.config.update("jax_enable_x64", False)
+
+    sum64 = J64.sum(0)
+    gross = float(np.abs(J64).sum())
+    scale = gross / K  # typical per-ray gradient magnitude
+    err_s = np.linalg.norm(J_s - J64, axis=1) / scale
+    err_r = np.linalg.norm(J_r - J64, axis=1) / scale
+
+    def q(x):
+        return {"p50": round(float(np.median(x)), 5),
+                "p99": round(float(np.quantile(x, 0.99)), 5),
+                "max": round(float(x.max()), 5)}
+
     out["per_ray"] = {
-        "sum_replay_vs_aggregate_fused": [float(x) for x in sum_r],
-        "sum_scan_vs_aggregate_scan": [float(x) for x in sum_s],
-        "gross_abs_sum": [float(x) for x in np.abs(J_s).sum(0)],
-        "net_abs": [float(abs(x)) for x in sum_s],
+        "what": "per-ray tx-gradient decomposition of the soft-IR loss over "
+                "the captured set (per-ray TX rows; rows sum to the exact "
+                "aggregate). err = |J_f32 - J_f64| / mean|J_f64|.",
+        "sum_replay_f32": [float(x) for x in sum_r],
+        "sum_scan_f32": [float(x) for x in sum_s],
+        "sum_f64_truth": [float(x) for x in sum64],
+        "aggregate_fused_vjp": [float(x) for x in g_f],
+        "aggregate_scan_vjp": [float(x) for x in g_s],
+        "gross_abs_sum_f64": gross,
         "cancellation_factor": [
-            round(float(np.abs(J_s[:, a]).sum() / max(abs(sum_s[a]), 1e-9)), 1)
+            round(float(np.abs(J64[:, a]).sum() / max(abs(sum64[a]), 1e-9)), 1)
             for a in range(3)
         ],
+        "per_ray_err_scan_vs_f64": q(err_s),
+        "per_ray_err_replay_vs_f64": q(err_r),
+        "aggregate_err_pct_of_gross": {
+            "scan_f32": round(100 * float(np.linalg.norm(g_s - sum64) / gross), 4),
+            "fused_vjp_f32": round(100 * float(np.linalg.norm(g_f - sum64) / gross), 4),
+            "replay_subset_f32": round(100 * float(np.linalg.norm(sum_r - sum64) / gross), 4),
+        },
     }
     dn = np.linalg.norm(J_s - J_r, axis=1)
-    mag = np.maximum(np.linalg.norm(J_s, axis=1), 1e-6)
-    rel_i = dn / mag
-    hist, edges = np.histogram(np.log10(np.maximum(rel_i, 1e-8)),
-                               bins=[-8, -6, -5, -4, -3, -2, -1, 0, 2])
-    out["per_ray"]["rel_diff_hist_log10_bins"] = [float(e) for e in edges]
-    out["per_ray"]["rel_diff_hist"] = [int(h) for h in hist]
-    out["per_ray"]["rel_diff_median"] = float(np.median(rel_i))
-    out["per_ray"]["rel_diff_p99"] = float(np.quantile(rel_i, 0.99))
-    out["per_ray"]["rel_diff_max"] = float(rel_i.max())
     top = np.argsort(-dn)[:20]
-    out["per_ray"]["top20_share_of_disagreement"] = round(
-        float(dn[top].sum() / max(dn.sum(), 1e-12)), 3)
 
     # Geometry agreement on the top-disagreeing rays: grazing-angle marker
     # |d.n| per bounce from the replay chain.

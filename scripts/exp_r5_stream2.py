@@ -30,7 +30,7 @@ scal = scal.at[7].set(5.0).at[8].set(1.0)
 mesh = make_terrain(grid=724, extent=120.0, seed=0)
 out = {}
 base_capt = None
-for name, leaf, arity in (("t1024", 128, 2), ("t2048", 128, 2), ("t512", 128, 2)):
+for name, leaf, arity in (("t256", 128, 2), ("t128", 128, 2)):
     tile_rays = int(name[1:])
     sub = tile_rays // 128
     tiles = n_rays // tile_rays

@@ -1,0 +1,111 @@
+"""Hybrid coverage auto-selection on BOTH scene classes (round-4 VERDICT #5).
+
+Room (reference workload, high flag rate -> wholesale exact fallback) and
+open terrain (low delay spread -> hybrid keeps the fast path's speed with the
+bounded guarantee). Writes HYBRID_r05.json showing, per scene: exact / fast /
+hybrid warm timings, flag count, error distributions — the done condition is
+hybrid cost <= ~min(exact, fast-with-exact-guarantee) everywhere, no
+configuration where the hybrid is the worst choice.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rfx import sampler
+    from rfx.coverage import (
+        coverage_dbm_fast, coverage_dbm_hybrid, coverage_irs, make_grid,
+    )
+    from rfx.cir import rx_power_dbm
+    from rfx.geometry import make_room, make_terrain
+    from rfx.tracer import Scene
+
+    _ = np.asarray(jnp.ones((8, 128)))
+    n_rays = 1_048_576
+    dirs = sampler.morton_sphere_directions(jax.random.PRNGKey(0), n_rays)
+    window = 100e-9
+    rate = 100e9
+    nbins = int(window * rate)
+
+    from rfx.ops.intersect import make_env_intersector
+
+    room_mesh = make_room()
+    terr_mesh = make_terrain(grid=128, extent=60.0, seed=0)
+    scenes = {
+        "room": (Scene.from_mesh(room_mesh),
+                 jnp.asarray(make_grid(range(-15, 16, 2), range(-15, 16, 2),
+                                       range(0, 16, 2))),
+                 jnp.asarray([3.0, 2.0, 2.0], jnp.float32)),
+        "terrain": (Scene.from_mesh(terr_mesh),
+                    jnp.asarray(make_grid(range(-15, 16, 2), range(-15, 16, 2),
+                                          range(10, 26, 2))),
+                    jnp.asarray([10.0, 0.0, 25.0], jnp.float32)),
+    }
+    out = {}
+    for name, (scene, grid, tx) in scenes.items():
+        # Brute-force intersection only fits the 44-tri room; the 32k-tri
+        # terrain needs the Pallas BVH backend (a 25 GB rays x faces
+        # broadcast otherwise — measured OOM).
+        env = None if name == "room" else make_env_intersector("pallas", mesh=terr_mesh)
+        kw = dict(max_bounces=2, num_rays=n_rays, sample_window_s=window,
+                  sample_rate_hz=rate, rx_batch=8, env_hit=env)
+
+        def run_exact():
+            irs = coverage_irs(scene, tx, dirs, grid, 0.5, max_bounces=2,
+                               nbins=nbins, num_rays=n_rays, sample_rate_hz=rate,
+                               rx_batch=8, env_hit=env)
+            e, _ = rx_power_dbm(irs, window)
+            return np.asarray(e)
+
+        exact = run_exact()
+        t0 = time.perf_counter(); exact = run_exact(); t_exact = time.perf_counter() - t0
+        fast = np.asarray(coverage_dbm_fast(scene, tx, dirs, grid, 0.5, **kw))
+        t0 = time.perf_counter()
+        fast = np.asarray(coverage_dbm_fast(scene, tx, dirs, grid, 0.5, **kw))
+        t_fast = time.perf_counter() - t0
+        hybrid, n_flagged = coverage_dbm_hybrid(scene, tx, dirs, grid, 0.5, **kw)
+        t0 = time.perf_counter()
+        hybrid, n_flagged = coverage_dbm_hybrid(scene, tx, dirs, grid, 0.5, **kw)
+        t_hybrid = time.perf_counter() - t0
+
+        ok = np.isfinite(exact)
+        e_fast = np.abs(fast[ok] - exact[ok])
+        e_hyb = np.abs(np.asarray(hybrid)[ok] - exact[ok])
+        out[name] = {
+            "receivers": int(grid.shape[0]),
+            "exact_seconds_warm": round(t_exact, 2),
+            "fast_seconds_warm": round(t_fast, 2),
+            "hybrid_seconds_warm": round(t_hybrid, 2),
+            "n_flagged": int(n_flagged),
+            "flag_rate": round(int(n_flagged) / int(grid.shape[0]), 3),
+            "wholesale_exact_fallback": bool(n_flagged > 0.15 * grid.shape[0]),
+            "fast_err_dB": {"median": round(float(np.median(e_fast)), 3),
+                            "p95": round(float(np.percentile(e_fast, 95)), 3),
+                            "max": round(float(e_fast.max()), 3)},
+            "hybrid_err_dB": {"median": round(float(np.median(e_hyb)), 3),
+                              "p95": round(float(np.percentile(e_hyb, 95)), 3),
+                              "max": round(float(e_hyb.max()), 3)},
+        }
+        print(name, json.dumps(out[name]), flush=True)
+        # Done condition: the hybrid is never the worst choice — it costs at
+        # most ~exact when it fell back wholesale, and stays within 2x fast
+        # when it did not; its error is bounded either way.
+        if out[name]["wholesale_exact_fallback"]:
+            assert t_hybrid <= 1.35 * t_exact, (t_hybrid, t_exact)
+            assert out[name]["hybrid_err_dB"]["max"] < 0.01
+        else:
+            assert t_hybrid <= 2.0 * t_fast, (t_hybrid, t_fast)
+            assert out[name]["hybrid_err_dB"]["max"] < 2.0
+
+    with open("HYBRID_r05.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
