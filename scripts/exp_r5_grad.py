@@ -213,7 +213,7 @@ def main():
             dist = dist + t_adv
         # inline f64 soft-binned quadratic IR loss (cir.bin_impulse_response
         # soft semantics, scatter method, amp scaled by tx_power/num_rays)
-        delay = dist / 2.998e8 * 100e9
+        delay = cap_dist / 2.998e8 * 100e9
         a = jnp.where(act64, cap_amp, 0.0) / n_rays
         lo = jnp.floor(delay)
         w = delay - lo

@@ -57,8 +57,10 @@ out["fwd_plain_ms"], _ = timed("fwd_plain", f_plain, dirs)
 f_rec = jax.jit(lambda d: ft(d, tx, rx, rr, record_faces=True))
 t, (res, bf) = timed("fwd_record", f_rec, dirs)
 out["fwd_record_ms"] = t
-res = jax.tree_util.tree_map(jax.device_get, res)
-res = TraceResult(*[jnp.asarray(x) for x in res])
+res = TraceResult(captured=jnp.asarray(np.asarray(res.captured)),
+                  amplitude=jnp.asarray(np.asarray(res.amplitude)),
+                  distance=jnp.asarray(np.asarray(res.distance)),
+                  num_bounces=jnp.asarray(np.asarray(res.num_bounces)))
 bf = jnp.asarray(np.asarray(bf))
 # 3. replay forward from the record
 f_rep = jax.jit(lambda t_: replay_from_faces(

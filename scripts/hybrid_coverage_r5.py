@@ -99,7 +99,9 @@ def main():
             assert t_hybrid <= 1.35 * t_exact, (t_hybrid, t_exact)
             assert out[name]["hybrid_err_dB"]["max"] < 0.01
         else:
-            assert t_hybrid <= 2.0 * t_fast, (t_hybrid, t_fast)
+            # Subset path: must beat exact-everywhere on cost (that is its
+            # niche) while bounding the fast path's worst case.
+            assert t_hybrid <= t_exact, (t_hybrid, t_exact)
             assert out[name]["hybrid_err_dB"]["max"] < 2.0
 
     with open("HYBRID_r05.json", "w") as f:
