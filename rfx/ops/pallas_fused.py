@@ -855,7 +855,8 @@ def replay_from_faces(vertices, faces_tbl, tx_pos, directions, rx_pos, rx_radius
 
 def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
                            n2=1.0, grad_args=("vertices", "tx_pos", "directions",
-                                              "rx_pos", "rx_radius"), **kwargs):
+                                              "rx_pos", "rx_radius"),
+                           bwd_max_captured: int = 1 << 17, **kwargs):
     """Differentiable fused tracer: Pallas megakernel forward + recorded-face
     replay backward (round-3 VERDICT #4: fused backward without re-traversal).
 
@@ -865,12 +866,17 @@ def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
     straight-through (the same selection-freezing as the per-query
     intersectors' custom VJPs).
 
-    `grad_args` matters for speed (round-5 backward profiling,
-    GRAD_r05.json): the vertex cotangent scatter-adds 3 x max_bounces (N,3)
-    update streams into the (F,3) triangle tables — XLA's TPU scatter
-    processes ~130M updates/s, so at 2.6M rays x 4 bounces those scatters
-    alone cost more than the whole replay. Excluding "vertices" for
-    tx/direction-only losses (symbolic-zero cotangent) skips them entirely.
+    `grad_args` restricts which arguments receive real cotangents (the rest
+    get symbolic zeros); `bwd_max_captured` bounds the CAPTURED-SUBSET
+    backward (round-5, exp_r5_gradprof.py): only captured rays carry nonzero
+    loss cotangents (non-captured amplitude/distance are masked out of every
+    IR), yet the naive backward replayed ALL N rays — 26.5 ms forward +
+    ~27 ms VJP at 2.6M rays for ~1.7k captured. The backward now compacts to
+    the captured rays via size-bounded jnp.nonzero (jit-static shape) and
+    scatters the direction cotangent back. If a trace captures more than
+    bwd_max_captured rays (131072 default — ~100x any measured workload),
+    every cotangent is poisoned to NaN so the truncation can never pass
+    silently.
 
     `faces_tbl` is the scene's (F, 3) int32 face-index table; `vertices` is
     passed at call time so vertex gradients flow. The BVH (and the kernel's
@@ -898,26 +904,45 @@ def make_diff_fused_tracer(flat_or_mesh, faces_tbl, *, max_bounces: int, n1=5.0,
 
     def _bwd(res, g):
         vertices, tx_pos, directions, rx_pos, rx_radius, bf, cap, nb = res
-        g_amp = g.amplitude
-        g_dist = g.distance
-        args = (vertices, tx_pos, directions, rx_pos,
+        n = directions.shape[0]
+        m = min(bwd_max_captured, n)
+        cap_idx = jnp.nonzero(cap, size=m, fill_value=0)[0]
+        ncap = jnp.sum(cap.astype(jnp.int32))
+        valid = jnp.arange(m) < ncap
+        overflow = ncap > m
+        d_sub = directions[cap_idx]
+        bf_sub = bf[:, cap_idx]
+        nb_sub = nb[cap_idx]
+        g_amp = jnp.where(valid, g.amplitude[cap_idx], 0.0)
+        g_dist = jnp.where(valid, g.distance[cap_idx], 0.0)
+        args = (vertices, tx_pos, d_sub, rx_pos,
                 jnp.asarray(rx_radius, jnp.float32))
-        live = [a for a, m in zip(args, diff_mask) if m]
+        live = [a for a, mk in zip(args, diff_mask) if mk]
 
         def amp_dist(*live_args):
             it = iter(live_args)
-            full = [next(it) if m else jax.lax.stop_gradient(a)
-                    for a, m in zip(args, diff_mask)]
+            full = [next(it) if mk else jax.lax.stop_gradient(a)
+                    for a, mk in zip(args, diff_mask)]
             v, t, dirs, rx, rr = full
-            return replay_from_faces(v, faces_tbl, t, dirs, rx, rr, bf, cap, nb,
-                                     n1=n1, n2=n2)
+            return replay_from_faces(v, faces_tbl, t, dirs, rx, rr, bf_sub,
+                                     valid, nb_sub, n1=n1, n2=n2)
 
         _, vjp = jax.vjp(amp_dist, *live)
         cots = iter(vjp((g_amp, g_dist)))
-        return tuple(
-            next(cots) if m else jnp.zeros_like(a)
-            for a, m in zip(args, diff_mask)
-        )
+        poison = lambda x: jnp.where(overflow, jnp.float32(jnp.nan), x)
+        out = []
+        for (name, a, mk) in zip(arg_names, args, diff_mask):
+            if not mk:
+                # symbolic-zero-ish: full-shape zeros for the ORIGINAL arg
+                out.append(jnp.zeros_like(directions) if name == "directions"
+                           else jnp.zeros_like(a))
+                continue
+            c = next(cots)
+            if name == "directions":
+                c = jnp.zeros_like(directions).at[cap_idx].add(
+                    jnp.where(valid[:, None], c, 0.0))
+            out.append(poison(c))
+        return tuple(out)
 
     diff_trace.defvjp(_fwd, _bwd)
     return diff_trace
