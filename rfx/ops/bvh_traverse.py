@@ -178,12 +178,16 @@ def _bvh_hit_bwd(t_min, leaf_size, res, cotangents):
     e2 = bvh.tri_e2[gather]
     hit = (tri_idx >= 0) & is_hit(t)
     g = jnp.where(hit, g_t, 0.0)
+    # Sanitized non-hit lanes: parked rays overflow the t-VJP to inf and
+    # 0 x inf = NaN (round-5 flagship n1-grad bug; see pallas_trace.bwd).
+    o_s = jnp.where(hit[:, None], o, 0.0)
+    d_s = jnp.where(hit[:, None], d, 1.0)
 
     # VJP of the closed-form t through the selected triangle only.
     def t_of(o_, d_, v0_, e1_, e2_):
         return _closed_form_t(o_, d_, v0_, e1_, e2_)
 
-    _, vjp = jax.vjp(t_of, o, d, v0, e1, e2)
+    _, vjp = jax.vjp(t_of, o_s, d_s, v0, e1, e2)
     go, gd, gv0, ge1, ge2 = vjp(g)
 
     # Scatter triangle cotangents back into the flat SoA (padding rows dropped

@@ -167,11 +167,16 @@ def _brute_bwd(t_min, t_max, ray_chunk, res, cotangents):
     sel = jnp.maximum(face, 0)
     hit = (face >= 0) & is_hit(t)
     g = jnp.where(hit, g_t, 0.0)
+    # Evaluate the VJP at sanitized non-hit lanes: parked rays (|o| ~ 1e9)
+    # overflow the derivative's intermediates to inf and 0 x inf = NaN
+    # (round-5 flagship n1-grad bug; see pallas_trace.bwd).
+    o_s = jnp.where(hit[:, None], o, 0.0)
+    d_s = jnp.where(hit[:, None], d, 1.0)
 
     def t_of(o_, d_, fv0, fe1, fe2):
         return closed_form_t(o_, d_, fv0, fe1, fe2)
 
-    _, vjp = jax.vjp(t_of, o, d, v0[sel], e1[sel], e2[sel])
+    _, vjp = jax.vjp(t_of, o_s, d_s, v0[sel], e1[sel], e2[sel])
     go, gd, gv0, ge1, ge2 = vjp(g)
     zero_pad = jnp.where(hit[:, None], 1.0, 0.0)
     gv0_full = jnp.zeros_like(v0).at[sel].add(gv0 * zero_pad)

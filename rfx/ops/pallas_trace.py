@@ -767,11 +767,24 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
             sel = jnp.maximum(idx, 0)
             hit = (idx >= 0) & is_hit(t)
             g = jnp.where(hit, g_t, 0.0)
+            # Sanitize non-hit lanes BEFORE the inner vjp: parked rays sit at
+            # |o| ~ 1e9, where the closed-form-t derivative's intermediate
+            # products overflow f32 to inf, and 0-cotangent x inf = NaN
+            # poisons every upstream gradient (round-5 bug: flagship n1 grad
+            # NaN through the bounce-direction chain; plain-FD value 611.16).
+            o_s = jnp.where(hit[:, None], o, 0.0)
+            d_s = jnp.where(hit[:, None], d, 1.0)
+            # Barrier: stops XLA from fusing the zeroing selects back into
+            # the surrounding trace graph, where the fused form re-associates
+            # into 0 x inf (the same compiled-only NaN class as the MISS
+            # sentinel note at the top of rfx.ops.intersect; clean under
+            # jax_debug_nans' unfused execution, NaN when fused).
+            o_s, d_s, g = jax.lax.optimization_barrier((o_s, d_s, g))
 
             def t_of(o_, d_):
                 return closed_form_t(o_, d_, pb.tri_v0[sel], pb.tri_e1[sel], pb.tri_e2[sel])
 
-            _, vjp = jax.vjp(t_of, o, d)
+            _, vjp = jax.vjp(t_of, o_s, d_s)
             go, gd = vjp(g)
             return go, gd
 
@@ -800,13 +813,25 @@ def make_pallas_env_hit(flat_or_mesh, interpret: bool = False, tile_rays: int = 
         hit = (face >= 0) & is_hit(t)
         g = jnp.where(hit, g_t, 0.0)
         gn = jnp.where(hit[:, None], g_nrm, 0.0)
+        # See bwd above: non-hit (parked, |o|~1e9) lanes overflow the t-VJP's
+        # intermediates to inf; 0 x inf = NaN. Evaluate at safe inputs, with
+        # a barrier so XLA cannot fuse the zeroing selects away (compiled-only
+        # NaN otherwise; clean under jax_debug_nans' unfused execution).
+        o_s = jnp.where(hit[:, None], o, 0.0)
+        d_s = jnp.where(hit[:, None], d, 1.0)
+        o_s, d_s, g, gn = jax.lax.optimization_barrier((o_s, d_s, g, gn))
 
-        fv0, fe1, fe2 = v0[sel], e1[sel], e2[sel]
+        # Barrier on the gathered triangle rows too: a traced-table gather
+        # inside the scan's backward is the known XLA-TPU miscompile class
+        # (rfx.ops.intersect.hit_normal_from_edges documents the forward-side
+        # instance) — round 5 found the backward-side one: non-captured rays
+        # received huge garbage material gradients through this path.
+        fv0, fe1, fe2 = jax.lax.optimization_barrier((v0[sel], e1[sel], e2[sel]))
 
         def t_of(o_, d_, a, b, c):
             return closed_form_t(o_, d_, a, b, c)
 
-        _, vjp_t = jax.vjp(t_of, o, d, fv0, fe1, fe2)
+        _, vjp_t = jax.vjp(t_of, o_s, d_s, fv0, fe1, fe2)
         go, gd, gv0, ge1, ge2 = vjp_t(g)
 
         def nrm_of(b, c):

@@ -189,7 +189,16 @@ def trace_to_rx(
         new_pos = jnp.where(
             env_bounce[:, None], c["pos"] + c["dir"] * t_adv[:, None], jnp.float32(1e9)
         )
-        d_out = physics.reflect(c["dir"], nrm)
+        # Double-where sanitization (round-5 NaN fix): lanes that do NOT
+        # env-bounce may carry garbage normals/intermediates (parked rays,
+        # backend-dependent miss fills). Their fres VALUE is discarded by the
+        # where below, but reverse-mode where-grads still multiply a ZERO
+        # cotangent by the branch's derivative — 0 x inf/NaN = NaN — which
+        # poisoned the whole n1/material gradient at flagship scale (clean
+        # under jax_debug_nans' unfused execution, NaN when jitted). Feeding
+        # the unselected lanes a benign normal kills the poison at the source.
+        nrm_safe = jnp.where(env_bounce[:, None], nrm, jnp.float32(0.0))
+        d_out = physics.reflect(c["dir"], nrm_safe)
         fres = physics.fresnel_bounce_amplitude(physics.bend_angle(c["dir"], d_out), n1, n2)
         amp = jnp.where(env_bounce, c["amp"] * fres, c["amp"])
         dist = c["dist"] + t_adv
@@ -231,7 +240,17 @@ def trace_to_rx(
         )
         return c2, out
 
-    carry, ys = jax.lax.scan(step, carry0, None, length=max_bounces)
+    # unroll=True (round-5 miscompile workaround): with the rolled scan, the
+    # TPU-compiled BACKWARD of this loop through the differentiable-tris
+    # Pallas intersector produces garbage — non-captured rays receive large
+    # nonzero (sometimes NaN) material gradients that are mathematically
+    # zero. The same graph is correct on CPU, correct under jax_debug_nans'
+    # unfused execution, and correct when unrolled (value matches the
+    # plain-backend FD estimate to 5 digits: 611.16 vs 611.17) — the same
+    # compiled-only class as the scan-gather miscompile documented in
+    # rfx.ops.intersect.hit_normal_from_edges. max_bounces is small (<= 4 on
+    # every reference workload), so unrolling costs only compile time.
+    carry, ys = jax.lax.scan(step, carry0, None, length=max_bounces, unroll=True)
     return TraceResult(
         captured=carry["captured"],
         amplitude=carry["cap_amp"],

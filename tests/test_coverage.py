@@ -2,6 +2,7 @@
 tracing (the restructure of ref coverage.py:38-43; SURVEY.md 7 step 4)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from oracle import sample_sphere_directions
@@ -63,6 +64,7 @@ def test_coverage_rx_batch_invariance(box_room):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_pallas_engine_matches_map_engine(box_room):
     """The fused Pallas coverage-histogram kernel (interpret mode on CPU) must
     reproduce the map engine's per-receiver hard-binned IRs exactly (same

@@ -29,6 +29,7 @@ def _assert_trace_match(ref, fused_out):
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pack,cone", [(True, False), (False, False), (False, True)])
 def test_fused_interpret_matches_scan_tracer(pack, cone):
     """All node-test styles: packed f32 pairs / per-node any / scalar cone
@@ -64,6 +65,7 @@ def test_fused_interpret_nonaligned_batch_and_materials():
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.5, n1=3.0, n2=1.2))
 
 
+@pytest.mark.slow
 def test_facade_fused_path_matches_scan_cir():
     """Tracer(backend='pallas') routes compute_cir through the fused
     megakernel; the IR must match the scan path's (backend='bvh') bin for
@@ -95,7 +97,7 @@ def test_facade_fused_path_matches_scan_cir():
     assert np.allclose(ir_fused, ir_scan, rtol=1e-4, atol=1e-9)
 
 
-@pytest.mark.parametrize("leaf,arity", [(128, 2), (64, 4), (32, 4)])
+@pytest.mark.parametrize("leaf,arity", [(128, 2), pytest.param(64, 4, marks=pytest.mark.slow), pytest.param(32, 4, marks=pytest.mark.slow)])
 def test_fused_interpret_streaming_layout(leaf, arity):
     """HBM-streaming triangle layout (128-row DMA blocks) through the fused
     bounce loop. leaf < 128 drains a leaf-sized slice of the landed block
@@ -116,6 +118,7 @@ def test_fused_interpret_streaming_layout(leaf, arity):
     _assert_trace_match(ref, ft(dirs, tx, rx, 1.0))
 
 
+@pytest.mark.slow
 def test_fused_record_faces_and_replay_matches():
     """record_faces output is consistent (face >= 0 exactly where a bounce
     happened) and the differentiable replay reproduces the kernel's
@@ -152,6 +155,7 @@ def test_fused_record_faces_and_replay_matches():
                        rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_diff_fused_gradients_match_scan_path():
     """make_diff_fused_tracer: fused forward + replay backward must agree with
     the scan path's custom-VJP gradients (same straight-through selection)."""
@@ -190,6 +194,7 @@ def test_diff_fused_gradients_match_scan_path():
                                rtol=1e-2, atol=1e-6 * max(1.0, float(np.abs(np.asarray(gs_v)).max())))
 
 
+@pytest.mark.slow
 def test_fused_record_faces_streaming_layout():
     """Face recording must also work through the HBM-streaming triangle
     blocks (face id rides lane 12 of the padded (128,128) block)."""

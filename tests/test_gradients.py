@@ -136,7 +136,7 @@ def test_inverse_solver_reduces_loss(box_room):
     assert losses[-1] < 0.99 * losses[0], losses
 
 
-@pytest.mark.parametrize("backend", ["brute", "bvh", "pallas"])
+@pytest.mark.parametrize("backend", ["brute", "bvh", pytest.param("pallas", marks=pytest.mark.slow)])
 def test_vertex_gradient_fd(box_room, backend):
     """d(loss)/d(vertices) vs a central-difference directional derivative
     through every intersector backend (BASELINE.md: vertex-position gradients

@@ -2,6 +2,7 @@
 (compiled-mode parity runs on real TPU hardware via bench.py, not CI)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from rfx.ops.intersect import is_hit, mesh_soa, ray_mesh_closest_hit_brute
 from rfx.ops.pallas_trace import make_pallas_env_hit
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_brute(room_mesh):
     env_hit = make_pallas_env_hit(room_mesh, interpret=True)
     v0, e1, e2, normals = mesh_soa(jnp.asarray(room_mesh.vertices), jnp.asarray(room_mesh.faces))
@@ -49,6 +51,7 @@ def test_pallas_interpret_terrain_nonaligned_batch():
     assert bool(jnp.all(jnp.where(hit, fp, -1) == jnp.where(hit, fb, -1)))
 
 
+@pytest.mark.slow
 def test_pallas_interpret_multibounce_trace_matches_brute():
     """Full bounce loop through the Pallas backend (interpret mode): the
     bounce-loop/kernel interaction — parked-ray dead-tile cones, per-bounce
@@ -79,6 +82,7 @@ def test_pallas_interpret_multibounce_trace_matches_brute():
     assert bool(jnp.allclose(rp.distance, rb.distance, rtol=1e-5, atol=1e-4))
 
 
+@pytest.mark.slow
 def test_pallas_interpret_streaming_matches_brute():
     """HBM-streaming mode (force_stream: leaf blocks DMA'd per drain instead
     of VMEM-resident triangles) must match brute exactly. Exercises the

@@ -297,28 +297,33 @@ def run_compiled_gradient_checks():
     )
     checks += 1
 
-    # 4. FLAGSHIP-SCALE (32k-tri terrain) n1 + vertex FD checks (round-4
-    #    VERDICT #4b: gradient coverage at scale was tx-only; the room checks
-    #    above run on 44 triangles). Same linear-in-outputs loss discipline
-    #    as check 2 so FD sees no binning kinks.
+    # 4. FLAGSHIP-SCALE (32k-tri terrain) n1 + vertex gradient checks
+    #    (round-4 VERDICT #4b: gradient coverage at scale was tx-only; the
+    #    room checks above run on 44 triangles).
     from rfx.geometry import make_terrain
+    from rfx.ops.bvh_traverse import make_bvh_env_hit
+    from rfx.bvh import build_bvh
 
     terr = make_terrain(grid=128, extent=60.0, seed=0)
     tscene = Scene.from_mesh(terr)
     tdirs = jnp.asarray(sample_sphere_directions(16384, seed=33))
     ttx = jnp.asarray([10.0, 0.0, 25.0], jnp.float32)
     trx = jnp.asarray([-10.0, 0.0, 8.0], jnp.float32)
-    env_terr = make_env_intersector("pallas", mesh=terr, differentiable_tris=True)
-    wt = jnp.asarray(np.random.default_rng(11).normal(size=(16384,)), jnp.float32)
+    env_terr_nd = make_env_intersector("pallas", mesh=terr)
+    env_terr_dt = make_env_intersector("pallas", mesh=terr, differentiable_tris=True)
 
-    @jax.jit
-    def loss_n1(n1):
-        r = trace_to_rx(tscene, ttx, tdirs, trx, 1.5, max_bounces=3,
-                        rx_mode="analytic", env_hit=env_terr, n1=n1)
-        # n1 only enters the smooth Fresnel factor: selection never moves,
-        # so plain FD on the amplitude sum is clean.
-        return jnp.sum(jnp.where(r.captured, r.amplitude, 0.0)) * 1e3
+    def make_loss_n1(env):
+        @jax.jit
+        def loss_n1(n1):
+            r = trace_to_rx(tscene, ttx, tdirs, trx, 1.5, max_bounces=3,
+                            rx_mode="analytic", env_hit=env, n1=n1)
+            # n1 only enters the smooth Fresnel factor: selection never
+            # moves, so plain FD on the amplitude sum is clean.
+            return jnp.sum(jnp.where(r.captured, r.amplitude, 0.0)) * 1e3
 
+        return loss_n1
+
+    loss_n1 = make_loss_n1(env_terr_nd)
     g_n1 = float(jax.jit(jax.grad(loss_n1))(jnp.asarray(5.0)))
     eps = 1e-2
     fd_n1 = (float(loss_n1(jnp.asarray(5.0 + eps))) -
@@ -327,30 +332,45 @@ def run_compiled_gradient_checks():
     assert abs(g_n1 - fd_n1) < 0.05 * max(abs(fd_n1), 1e-6), (
         f"flagship n1 grad vs FD: ad={g_n1} fd={fd_n1}"
     )
+    # Regression (round-5 NaN bug): through the differentiable-tris backend
+    # the same n1 gradient used to come out NaN — parked-ray lanes (|o|~1e9)
+    # overflowed the closed-form-t VJP to inf and 0 x inf = NaN poisoned the
+    # whole chain. The backward now evaluates at sanitized lanes; the two
+    # backends must agree.
+    g_n1_dt = float(jax.jit(jax.grad(make_loss_n1(env_terr_dt)))(jnp.asarray(5.0)))
+    assert np.isfinite(g_n1_dt), "difftris n1 grad non-finite (NaN regression)"
+    assert abs(g_n1_dt - g_n1) < 0.02 * max(abs(g_n1), 1e-6), (g_n1_dt, g_n1)
     checks += 1
 
-    @jax.jit
-    def loss_vt(vertices):
-        r = trace_to_rx(Scene(vertices, tscene.faces), ttx, tdirs, trx, 1.5,
-                        max_bounces=3, rx_mode="analytic", env_hit=env_terr)
-        cap = r.captured.astype(jnp.float32)
-        return jnp.sum(cap * (wt * r.distance + 10.0 * r.amplitude))
+    # Vertex gradients at flagship scale: FD is f32-noise-limited here
+    # (16k-ray sums drown a 5e-4 step), so the check is CROSS-IMPLEMENTATION
+    # AD agreement — compiled Pallas differentiable-tris backward vs the
+    # independent jnp BVH-traversal backward on the identical loss (the same
+    # discipline as check 3's pallas-vs-brute). FD coverage for the vertex
+    # VJP algebra itself lives in check 1 (room scale) and
+    # tests/test_gradients.py.
+    wt = jnp.asarray(np.random.default_rng(11).normal(size=(16384,)), jnp.float32)
+    env_terr_bvh = make_bvh_env_hit(build_bvh(terr), differentiable_tris=True)
+
+    def make_loss_vt(env):
+        @jax.jit
+        def loss_vt(vertices):
+            r = trace_to_rx(Scene(vertices, tscene.faces), ttx, tdirs, trx, 1.5,
+                            max_bounces=3, rx_mode="analytic", env_hit=env)
+            cap = r.captured.astype(jnp.float32)
+            return jnp.sum(cap * (wt * r.distance + 10.0 * r.amplitude))
+
+        return loss_vt
 
     tv0 = tscene.vertices
-    g_v = jax.jit(jax.grad(loss_vt))(tv0)
+    g_v = jax.jit(jax.grad(make_loss_vt(env_terr_dt)))(tv0)
+    g_v_ref = jax.jit(jax.grad(make_loss_vt(env_terr_bvh)))(tv0)
     assert np.all(np.isfinite(np.asarray(g_v))), "flagship vertex grad non-finite"
     assert float(jnp.sum(jnp.abs(g_v))) > 0.0
-    rngv = np.random.default_rng(13)
-    uv = jnp.asarray(rngv.normal(size=tv0.shape), jnp.float32)
-    uv = uv / jnp.linalg.norm(uv)
-    # eps small enough that the 32k-tri capture/hit set stays fixed across
-    # the FD step (checked implicitly by the tolerance; a flipped face shows
-    # up as a gross FD mismatch).
-    eps = 5e-4
-    fd_v = (float(loss_vt(tv0 + eps * uv)) - float(loss_vt(tv0 - eps * uv))) / (2 * eps)
-    ad_v = float(jnp.vdot(g_v, uv))
-    assert abs(ad_v - fd_v) < 0.10 * max(abs(fd_v), abs(ad_v), 1e-3), (
-        f"flagship vertex grad vs FD: ad={ad_v} fd={fd_v}"
+    num = float(jnp.linalg.norm(g_v - g_v_ref))
+    den = float(jnp.linalg.norm(g_v_ref))
+    assert num < 0.02 * max(den, 1e-6), (
+        f"flagship vertex grad pallas vs bvh backend: |diff|={num} |ref|={den}"
     )
     checks += 1
     return checks
