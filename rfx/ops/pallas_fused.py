@@ -673,12 +673,14 @@ class FusedTracer:
     """
 
     # Measured on the flagship workload (scripts/exp_fused_sweep.py +
-    # exp_r3_staged.py, TPU v5e): 1024-ray tiles beat 2048 (87.4 vs 83.9
-    # Mrays/s) and 512/256 fall off a cliff (70/48) — tighter tiles walk
-    # smaller subtrees until per-tile fixed cost dominates. k_spec=8 beats 4
-    # and 16 at every tile size, and pack=False beats pack=True (90.2 vs
-    # 83.0; see packed_hits docstring).
-    DEFAULT_TILE_RAYS = 1024
+    # exp_r3_staged.py + the round-5 fine sweep, TPU v5e): 1280-ray tiles
+    # (sub=10) beat every power-of-two — 50.7 ms/trace vs 54.4 at 1024, 56.0
+    # at 2048, and the immediate NEIGHBORS 1152/1408 both regress to ~58 —
+    # verified stable across interleaved reruns with identical capture sets
+    # (/tmp jobs logged in PROFILE_r05). 512/256 fall off a cliff (70/48
+    # Mrays/s). k_spec=8 beats 4 and 16 at every tile size, and pack=False
+    # beats pack=True (90.2 vs 83.0; see packed_hits docstring).
+    DEFAULT_TILE_RAYS = 1280
     # Streaming meshes invert the tradeoff (round-5 sweep at 1M tris,
     # scripts/exp_r5_stream2.py: 512 -> 276 ms vs 1024 -> 344, 2048 -> 587):
     # the 128-candidate block drains dominate there, and tighter tiles visit
