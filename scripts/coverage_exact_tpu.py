@@ -83,7 +83,7 @@ def main():
                               "max": round(float(delta.max()), 3)},
     }
     print(json.dumps(payload))
-    with open("COVERAGE_EXACT_r04.json", "w") as f:
+    with open("COVERAGE_EXACT_r05.json", "w") as f:
         json.dump(payload, f)
 
 

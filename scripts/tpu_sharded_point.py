@@ -71,11 +71,11 @@ def main():
     }
     print(json.dumps(point))
 
-    with open("SCALING_r03.json") as f:
+    with open("SCALING_r04.json") as f:
         base = json.load(f)
     base["tpu_sharded_point"] = point
     base["harness"] = base["harness"] + " + scripts/tpu_sharded_point.py (round 4: real-TPU row)"
-    with open("SCALING_r04.json", "w") as f:
+    with open("SCALING_r05.json", "w") as f:
         json.dump(base, f, indent=1)
 
 
