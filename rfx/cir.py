@@ -17,13 +17,15 @@ import jax.numpy as jnp
 
 __all__ = ["bin_impulse_response", "cir_from_trace", "rx_power_dbm", "rx_power_dbm_phasor", "to_dbm"]
 
-# Shared precision for every one-hot selection-sum matmul (the map engine
-# below AND the Pallas coverage kernel, which imports this so the two binning
-# engines stay bit-equivalent). TPU DEFAULT truncates f32 operands toward
-# bf16 (~0.15% bin error, measured). HIGH (3 bf16 passes) is exact here: the
-# one-hot operand's {0,1} values decompose into bf16 with zero residual, so
-# every partial product is exact and the f32 accumulation sums the same
-# nonzero values in the same order as HIGHEST — at half HIGHEST's cost.
+# Precision for the map engine's one-hot selection-sum matmuls. TPU DEFAULT
+# truncates f32 operands toward bf16 (~0.15% bin error, measured). HIGH
+# (3 bf16 passes) is exact here: the one-hot operand's {0,1} values decompose
+# into bf16 with zero residual, so every partial product is exact and the f32
+# accumulation sums the same nonzero values in the same order as HIGHEST — at
+# half HIGHEST's cost. The Pallas coverage kernel uses HIGHEST for the same
+# sums only because Mosaic cannot lower HIGH in-kernel ("Unsupported dot
+# precision: HIGH", measured round 5); by the argument above the two engines
+# still produce bit-equivalent bins.
 BINNING_PRECISION = jax.lax.Precision.HIGH
 
 

@@ -71,3 +71,45 @@ def test_bvh_big_leaf_size():
     flat = build_bvh(mesh, leaf_size=128)
     assert flat.n_padded_tris % 128 == 0
     _assert_matches_brute(mesh, flat, seed=6)
+
+
+@pytest.mark.parametrize("arity", [4, 8])
+def test_collapse_bvh_parity_and_invariants(arity):
+    """n-ary collapse (round 5): leaves — and the triangle SoA — must be
+    untouched, the preorder/skip structure must stay well-formed, and
+    traversal results must be identical to the binary tree's."""
+    from rfx.bvh import collapse_bvh
+
+    mesh = make_terrain(grid=24, extent=40.0, seed=1)
+    flat = build_bvh(mesh, method="numpy")
+    wide = collapse_bvh(flat, arity)
+    assert wide.n_nodes < flat.n_nodes
+    assert wide.max_depth() < flat.max_depth()
+    # identical leaf set (padded ranges) and shared triangle arrays
+    lb = sorted(zip(flat.tri_start[flat.tri_count > 0].tolist(),
+                    flat.tri_count[flat.tri_count > 0].tolist()))
+    lw = sorted(zip(wide.tri_start[wide.tri_count > 0].tolist(),
+                    wide.tri_count[wide.tri_count > 0].tolist()))
+    assert lb == lw
+    assert wide.tri_v0 is flat.tri_v0 and wide.tri_face is flat.tri_face
+    # preorder/skip invariants + arity bound
+    n = wide.n_nodes
+    assert wide.skip[0] == n
+    assert np.all(wide.skip > np.arange(n))
+    assert max(len(wide.children(i)) for i in range(n)
+               if wide.tri_count[i] == 0) <= arity
+    _assert_matches_brute(mesh, wide)
+
+
+def test_native_sah_builder_matches_numpy_quality():
+    """The C++ binned-SAH split (round 5) must produce a tree of the same
+    size class as the numpy SAH builder and identical traversal results."""
+    from rfx.ops.native_lib import build_bvh_native, native_available
+
+    if not native_available():
+        pytest.skip("native builder unavailable")
+    mesh = make_terrain(grid=24, extent=40.0, seed=1)
+    f_np = build_bvh(mesh, method="numpy")
+    f_cc = build_bvh_native(mesh, 8, split="sah")
+    assert abs(f_cc.n_nodes - f_np.n_nodes) <= 0.05 * f_np.n_nodes
+    _assert_matches_brute(mesh, f_cc)
