@@ -250,9 +250,12 @@ def _kernel(nodef_ref, nodei_ref, cone_ref, trif_ref, o_ref, d_ref,
             ny_rows.append(jnp.where(upd, nyl, ny_best[r : r + 1, :]))
             nz_rows.append(jnp.where(upd, nzl, nz_best[r : r + 1, :]))
         new_t = jnp.concatenate(t_rows, axis=0)
-        # Scalar far plane for traversal pruning: one reduce + one SMEM store
-        # per drain (~0.8 us), amortized over a whole 128-triangle MT pass.
-        tcap_ref[0, 0] = jnp.max(new_t)
+        if node_test == "cone":
+            # Scalar far plane for traversal pruning — only the cone test
+            # reads it; in box mode (the default) the store was dead work,
+            # one max-reduce per drain (round-5 finding, mirrored from the
+            # fused kernel where removing it was measured free).
+            tcap_ref[0, 0] = jnp.max(new_t)
         t_ref[0] = new_t
         idx_ref[0] = jnp.concatenate(i_rows, axis=0)
         fc_ref[0] = jnp.concatenate(f_rows, axis=0)
