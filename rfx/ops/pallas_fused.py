@@ -63,7 +63,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                   capt_ref, capa_ref, capd_ref, nb_ref, *rest,
                   sub, leaf, max_bounces, stream=False, k_spec=_K_SPEC,
                   pack=False, record_faces=False, cone_filter=False,
-                  count_stats=False):
+                  count_stats=False, stream_depth=1):
     """One ray tile, all bounces.
 
     scal:  SMEM (16,) f32 — [0:3] tx, [3:6] rx, [6] rx_radius^2, [7] n1,
@@ -148,7 +148,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
         fc_best = fc_s[:] if record_faces else None
         if stream:
             tri_buf, dma_sem = tri_scratch
-            slot = head_for_slot & jnp.int32(7)
+            slot = head_for_slot & jnp.int32(15)
             pltpu.make_async_copy(
                 trif_ref.at[bases[0] // PALLAS_BLOCK], tri_buf.at[slot],
                 dma_sem.at[slot],
@@ -412,7 +412,7 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
                 agenda_ref[t & cap_mask] = b
                 if stream:
                     tri_buf, dma_sem = tri_scratch
-                    slot = t & jnp.int32(7)
+                    slot = t & jnp.int32(15)
                     pltpu.make_async_copy(
                         trif_ref.at[b // PALLAS_BLOCK], tri_buf.at[slot],
                         dma_sem.at[slot],
@@ -421,8 +421,13 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
             tail = tail + take.astype(jnp.int32)
             nxt = jnp.where(hit & ~is_leaf, cur + 1, skip_k)
             cur = jnp.where(valid, nxt, cur)
+        # Streaming with stream_depth > 1 defers each drain until at least
+        # stream_depth leaves are pending, giving every block's DMA that many
+        # extra windows to complete before its wait (depth 1 = drain
+        # immediately, the pre-round-5 behavior).
+        min_pending = stream_depth if stream else group
         for _ in range(max(1, k_spec // group)):
-            drained = tail - head >= group
+            drained = tail - head >= min_pending
 
             @pl.when(drained)
             def _(h=head):
@@ -583,10 +588,11 @@ def _fused_kernel(scal_ref, nodef_ref, nodei_ref, d_in_ref, trif_ref,
 
 @partial(jax.jit, static_argnames=("sub", "leaf", "max_bounces", "stream", "k_spec",
                                    "interpret", "pack", "record_faces", "cone_filter",
-                                   "count_stats"))
+                                   "count_stats", "stream_depth"))
 def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
                        stream=False, k_spec=_K_SPEC, interpret=False, pack=False,
-                       record_faces=False, cone_filter=False, count_stats=False):
+                       record_faces=False, cone_filter=False, count_stats=False,
+                       stream_depth=1):
     """Direction planes (3, tiles, sub, 128) + scalar params (16,) f32 ->
     (captured i32, cap_amp f32, cap_dist f32, num_bounces i32) planes of
     shape (tiles, sub, 128). With record_faces also returns a
@@ -636,8 +642,11 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
     ]
     if stream:
         scratch += [
-            pltpu.VMEM((8, PALLAS_BLOCK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            # 16-deep ring (round 5): with stream_depth > 1 the walk keeps
+            # up to stream_depth-1+k_spec <= 15 block copies in flight so a
+            # drain's DMA has had several windows to land.
+            pltpu.VMEM((16, PALLAS_BLOCK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((16,)),
         ]
         trif_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
@@ -645,7 +654,8 @@ def fused_trace_planes(nodef, nodei, trif, dT, scal, *, sub, leaf, max_bounces,
     return pl.pallas_call(
         partial(_fused_kernel, sub=sub, leaf=leaf, max_bounces=max_bounces,
                 stream=stream, k_spec=k_spec, pack=pack, record_faces=record_faces,
-                cone_filter=cone_filter, count_stats=count_stats),
+                cone_filter=cone_filter, count_stats=count_stats,
+                stream_depth=stream_depth),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
@@ -687,11 +697,17 @@ class FusedTracer:
     # fewer blocks per ray.
     DEFAULT_TILE_RAYS_STREAM = 512
 
+    #: Streaming drain-deferral depth: a drain waits until this many leaves
+    #: are pending, so each block's HBM DMA gets that many extra walk windows
+    #: to land before its wait. Swept at 1M tris/tile 512 (round 5): depth 3
+    #: beats 1 (258.8 vs 275.5 ms) and 6 regresses slightly (262.2).
+    DEFAULT_STREAM_DEPTH = 3
+
     def __init__(self, flat: FlatBVH, *, max_bounces: int,
                  tile_rays: int | None = None, k_spec: int = _K_SPEC,
                  interpret: bool = False, force_stream: bool = False,
                  pack: bool = False, cone_filter: bool = False,
-                 count_stats: bool = False):
+                 count_stats: bool = False, stream_depth: int | None = None):
         if tile_rays is None:
             will_stream = force_stream or (flat.n_padded_tris > STREAM_TRI_THRESHOLD)
             tile_rays = (self.DEFAULT_TILE_RAYS_STREAM if will_stream
@@ -716,6 +732,8 @@ class FusedTracer:
         self.pack = pack
         self.cone_filter = cone_filter
         self.count_stats = count_stats
+        self.stream_depth = (stream_depth if stream_depth is not None
+                             else (self.DEFAULT_STREAM_DEPTH if self.stream else 1))
         self.interpret = interpret
 
     def arrays(self):
@@ -770,6 +788,7 @@ class FusedTracer:
             stream=self.stream, k_spec=self.k_spec, interpret=self.interpret,
             pack=self.pack, record_faces=record_faces,
             cone_filter=self.cone_filter, count_stats=self.count_stats,
+            stream_depth=self.stream_depth,
         )
         capt, capa, capd, nb = outs[:4]
         from rfx.tracer import TraceResult
